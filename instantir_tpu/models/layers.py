@@ -1,0 +1,252 @@
+"""Core layers: LoRA-capable Dense/Conv, fp32 GroupNorm, time embeddings.
+
+LoRA is *functional* here — every LoRA-capable layer always computes
+``y = base(x) + lora_scale · (alpha/r) · B(A(x))`` with zero-init B, and the
+caller passes ``lora_scale`` per forward. The reference instead mutates
+module state per step (``unet.enable_adapters()``/``disable_adapters()``,
+``pipelines/sdxl_instantir.py:1545,1562``); a traced-or-static scalar keeps
+both previewer-on and previewer-off UNet modes inside one compiled XLA
+program, which is what lets the whole denoise loop live in a single
+``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+class LoRADense(nn.Module):
+    """Dense with an optional low-rank adapter branch (PEFT semantics)."""
+
+    features: int
+    use_bias: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lora_scale=0.0) -> jnp.ndarray:
+        y = nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=self.kernel_init,
+            name="base",
+        )(x)
+        if self.lora_rank > 0:
+            a = nn.Dense(
+                self.lora_rank,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.he_uniform(),
+                name="lora_a",
+            )(x)
+            b = nn.Dense(
+                self.features,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.zeros_init(),
+                name="lora_b",
+            )(a)
+            y = y + jnp.asarray(lora_scale, y.dtype) * (self.lora_alpha / self.lora_rank) * b
+        return y
+
+
+class LoRAConv(nn.Module):
+    """NHWC Conv with an optional low-rank adapter (A: k×k→r, B: 1×1→out)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 1
+    use_bias: bool = True
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lora_scale=0.0) -> jnp.ndarray:
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        y = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=self.kernel_init,
+            name="base",
+        )(x)
+        if self.lora_rank > 0:
+            a = nn.Conv(
+                self.lora_rank,
+                self.kernel_size,
+                strides=self.strides,
+                padding=pad,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.he_uniform(),
+                name="lora_a",
+            )(x)
+            b = nn.Conv(
+                self.features,
+                (1, 1),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.zeros_init(),
+                name="lora_b",
+            )(a)
+            y = y + jnp.asarray(lora_scale, y.dtype) * (self.lora_alpha / self.lora_rank) * b
+        return y
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 regardless of compute dtype (HBM-friendly:
+    XLA fuses the cast/normalize/affine chain into neighbouring ops)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class LayerNorm32(nn.Module):
+    """LayerNorm in fp32, optional affine params."""
+
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(
+            epsilon=self.epsilon,
+            use_scale=self.use_scale,
+            use_bias=self.use_bias,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+def get_timestep_embedding(
+    timesteps: jnp.ndarray,
+    embedding_dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    scale: float = 1.0,
+    max_period: int = 10000,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers ``get_timestep_embedding``).
+
+    fp32 always — bf16 sinusoids at t≈1000 lose the low-order bits that the
+    time MLP amplifies.
+    """
+    half_dim = embedding_dim // 2
+    exponent = -jnp.log(float(max_period)) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * jnp.asarray(timesteps, jnp.float32)[:, None]
+    emb = scale * emb
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP on the sinusoidal embedding (diffusers TimestepEmbedding),
+    with optional ``cond_proj`` (LCM guidance-scale embedding input)."""
+
+    time_embed_dim: int
+    cond_proj_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample: jnp.ndarray, condition: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if condition is not None:
+            if self.cond_proj_dim is None:
+                raise ValueError("condition passed but cond_proj_dim is None")
+            sample = sample + nn.Dense(
+                sample.shape[-1],
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="cond_proj",
+            )(condition)
+        h = nn.Dense(self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_1")(sample)
+        h = nn.silu(h)
+        return nn.Dense(self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear_2")(h)
+
+
+class AdaLayerNorm(nn.Module):
+    """Time-conditioned LayerNorm: ``LN(x)·(1+scale) + shift`` with
+    ``(shift, scale) = Linear(SiLU(temb))`` zero-init.
+
+    Reference ``module/ip_adapter/attention_processor.py:6-26``. The linear is
+    LoRA-capable because the previewer LoRA targets ``ln_k_ip.linear`` /
+    ``ln_v_ip.linear`` (``pipelines/sdxl_instantir.py:149-150``).
+    """
+
+    embedding_dim: int
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray, lora_scale=0.0) -> jnp.ndarray:
+        emb = LoRADense(
+            2 * self.embedding_dim,
+            use_bias=True,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.zeros_init(),
+            name="linear",
+        )(nn.silu(temb), lora_scale=lora_scale)
+        shift, scale = jnp.split(emb[:, None, :], 2, axis=-1)
+        normed = nn.LayerNorm(
+            epsilon=1e-6,
+            use_scale=False,
+            use_bias=False,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32)).astype(x.dtype)
+        return normed * (1.0 + scale) + shift
