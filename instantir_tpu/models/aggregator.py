@@ -1,0 +1,171 @@
+"""Aggregator — ControlNet-variant that fuses the LQ latent with the
+previewer's clean reference latent into per-resolution UNet residuals.
+
+Reference: ``module/aggregator.py``. Semantics preserved:
+  * two conv stems — ``conv_in`` (LQ latent, "sample") and ``ref_conv_in``
+    (preview latent, "controlnet_cond"), both initialized from the UNet's
+    conv_in (``from_unet``, ``module/aggregator.py:563-578``);
+  * the two streams are **concatenated along H** (cat_dim=-2 NCHW ≡ axis 1
+    NHWC, ``:888-902``), doubling the self-attention sequence;
+  * SDXL down+mid blocks with cross-attention removed (``remove_attn2``,
+    ``pipelines/sdxl_instantir.py:165-177`` → transformer blocks here are
+    built with ``has_cross_attention=False``), so text embeds only feed the
+    time-embedding path (text_time added embeds);
+  * each of the 9 skip activations + the mid activation is split back into
+    (cond, ref) halves and passed through an SFT head (3×3 conv → SiLU →
+    γ/β convs modulating the *ref* half, ``module/aggregator.py:51-90``)
+    followed by a zero-init 1×1 conv (``:414-471``).
+
+Output: tuple of 9 down residuals + 1 mid residual at the *original*
+(un-concatenated) spatial resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from instantir_tpu.models.layers import LoRAConv, TimestepEmbedding, get_timestep_embedding
+from instantir_tpu.models.unet import UNetConfig
+from instantir_tpu.models.unet_blocks import CrossAttnDownBlock2D, DownBlock2D, UNetMidBlock2DCrossAttn
+
+Dtype = Any
+
+
+class SFTHead(nn.Module):
+    """SFT modulation of the ref stream by the cond stream + zero 1×1 conv."""
+
+    channels: int
+    hidden: int = 128
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cond: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        actv = nn.Conv(self.hidden, (3, 3), padding=1, name="mlp_shared", **common)(cond)
+        actv = nn.silu(actv)
+        gamma = nn.Conv(self.channels, (3, 3), padding=1, name="mul", **common)(actv)
+        beta = nn.Conv(self.channels, (3, 3), padding=1, name="add", **common)(actv)
+        h = ref * (gamma + 1.0) + beta
+        return nn.Conv(
+            self.channels,
+            (1, 1),
+            kernel_init=nn.initializers.zeros_init(),
+            bias_init=nn.initializers.zeros_init(),
+            name="zero_conv",
+            **common,
+        )(h)
+
+
+class Aggregator(nn.Module):
+    """SDXL down+mid trunk on the H-concatenated (LQ, preview) pair."""
+
+    config: UNetConfig
+    use_flash: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # [B, H, W, 4] LQ latent
+        timesteps: jnp.ndarray,  # [B] or scalar
+        controlnet_cond: jnp.ndarray,  # [B, H, W, 4] preview latent
+        encoder_hidden_states: Optional[jnp.ndarray] = None,  # unused by blocks (attn2 removed)
+        added_text_embeds: jnp.ndarray = None,
+        added_time_ids: jnp.ndarray = None,
+        conditioning_scale: float = 1.0,
+    ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+        cfg = self.config
+        b = sample.shape[0]
+        timesteps = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timesteps)), (b,))
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # 1. time + added embeddings (same text_time scheme as the UNet)
+        t_emb = get_timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(self.dtype)
+        emb = TimestepEmbedding(cfg.time_embed_dim, name="time_embedding", **common)(t_emb)
+        time_embeds = get_timestep_embedding(
+            added_time_ids.reshape(-1), cfg.addition_time_embed_dim, cfg.flip_sin_to_cos, cfg.freq_shift
+        ).reshape(b, -1)
+        add_embeds = jnp.concatenate([added_text_embeds.astype(jnp.float32), time_embeds], axis=-1)
+        emb = emb + TimestepEmbedding(cfg.time_embed_dim, name="add_embedding", **common)(
+            add_embeds.astype(self.dtype)
+        )
+
+        # 2. dual stems, spatial concat along H
+        cond_latent = LoRAConv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **common)(sample)
+        ref_latent = LoRAConv(cfg.block_out_channels[0], (3, 3), padding=1, name="ref_conv_in", **common)(
+            controlnet_cond
+        )
+        x = jnp.concatenate([cond_latent, ref_latent], axis=1)
+
+        # 3. down blocks (cross-attention removed)
+        res_samples = (x,)
+        for i, block_type in enumerate(cfg.down_block_types):
+            is_final = i == len(cfg.down_block_types) - 1
+            out_ch = cfg.block_out_channels[i]
+            if block_type == "CrossAttnDownBlock2D":
+                heads = cfg.num_attention_heads[i]
+                x, res = CrossAttnDownBlock2D(
+                    out_channels=out_ch,
+                    temb_channels=cfg.time_embed_dim,
+                    heads=heads,
+                    head_dim=out_ch // heads,
+                    transformer_layers=cfg.transformer_layers_per_block[i],
+                    num_layers=cfg.layers_per_block,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    has_cross_attention=False,
+                    add_downsample=not is_final,
+                    norm_num_groups=cfg.norm_num_groups,
+                    use_flash=self.use_flash,
+                    name=f"down_blocks_{i}",
+                    **common,
+                )(x, emb)
+            else:
+                x, res = DownBlock2D(
+                    out_channels=out_ch,
+                    temb_channels=cfg.time_embed_dim,
+                    num_layers=cfg.layers_per_block,
+                    add_downsample=not is_final,
+                    norm_num_groups=cfg.norm_num_groups,
+                    name=f"down_blocks_{i}",
+                    **common,
+                )(x, emb)
+            res_samples = res_samples + res
+
+        # 4. mid
+        heads = cfg.num_attention_heads[-1]
+        mid_ch = cfg.block_out_channels[-1]
+        x = UNetMidBlock2DCrossAttn(
+            in_channels=mid_ch,
+            temb_channels=cfg.time_embed_dim,
+            heads=heads,
+            head_dim=mid_ch // heads,
+            transformer_layers=cfg.transformer_layers_per_block[-1],
+            cross_attention_dim=cfg.cross_attention_dim,
+            has_cross_attention=False,
+            norm_num_groups=cfg.norm_num_groups,
+            use_flash=self.use_flash,
+            name="mid_block",
+            **common,
+        )(x, emb)
+
+        # 5. split halves + SFT heads (cond modulates ref)
+        def split_h(t):
+            hh = t.shape[1]
+            return t[:, : hh // 2], t[:, hh - hh // 2 :]
+
+        down_residuals = []
+        for idx, r in enumerate(res_samples):
+            c, f = split_h(r)
+            down_residuals.append(
+                SFTHead(r.shape[-1], name=f"controlnet_down_blocks_{idx}", **common)(c, f) * conditioning_scale
+            )
+        c, f = split_h(x)
+        mid_residual = SFTHead(x.shape[-1], name="controlnet_mid_block", **common)(c, f) * conditioning_scale
+        return tuple(down_residuals), mid_residual
