@@ -1,0 +1,260 @@
+"""Shared training infrastructure: optimizer masking, EMA, LR schedules,
+checkpoint/resume, logging.
+
+TPU-native replacements for the reference's accelerate machinery:
+  * parameter-subset training (the reference's ``seperate_ip_params_from_unet``
+    / ``seperate_lora_params_from_unet``, ``utils/train_utils.py:286-308``)
+    becomes ``optax.masked`` over path predicates — the untrained majority of
+    the tree gets ``set_to_zero``, so optimizer state is tiny;
+  * EMA adapter copies (``train_stage2_aggregator.py:892-918``) are plain
+    parameter pytrees updated functionally;
+  * ``accelerator.save_state`` + resume-latest scanning ``checkpoint-*`` dirs
+    (``train_stage1_adapter.py:1054-1078``) maps to orbax checkpoints with
+    the same directory convention and total-limit GC;
+  * trackers → tensorboardX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+import shutil
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+# ---------------------------------------------------------------------------
+# parameter selection
+# ---------------------------------------------------------------------------
+
+
+def path_contains(*needles: str) -> Callable:
+    """Predicate on a flattened param path: any component contains a needle."""
+
+    def pred(path: Tuple[str, ...]) -> bool:
+        joined = "/".join(str(p) for p in path)
+        return any(n in joined for n in needles)
+
+    return pred
+
+
+IP_PARAM_PRED = path_contains("to_k_ip", "to_v_ip", "ln_k_ip", "ln_v_ip")
+LORA_PARAM_PRED = path_contains("lora_a", "lora_b")
+
+
+def _path_str(path) -> Tuple[str, ...]:
+    out = []
+    for p in path:
+        out.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return tuple(out)
+
+
+def trainable_mask(params: Any, pred: Callable) -> Any:
+    """Boolean pytree: True where ``pred(path)``."""
+    return jax.tree_util.tree_map_with_path(lambda path, _: bool(pred(_path_str(path))), params)
+
+
+def partition_params(params: Dict, pred: Callable) -> Tuple[Dict, Dict]:
+    """Split a nested param dict into (trainable, frozen) flat dicts by path
+    predicate. Gradients are then taken w.r.t. the trainable dict only — the
+    frozen majority never enters the backward pass's parameter cotangents."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params)
+    trainable = {k: v for k, v in flat.items() if pred(tuple(str(p) for p in k))}
+    frozen = {k: v for k, v in flat.items() if k not in trainable}
+    return trainable, frozen
+
+
+def merge_params(*flat_dicts: Dict) -> Dict:
+    from flax.traverse_util import unflatten_dict
+
+    merged = {}
+    for d in flat_dicts:
+        merged.update(d)
+    return unflatten_dict(merged)
+
+
+def masked_optimizer(tx: optax.GradientTransformation, mask: Any) -> optax.GradientTransformation:
+    """Apply ``tx`` only where mask is True; zero updates elsewhere."""
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask),
+    )
+
+
+def count_params(params: Any, mask: Optional[Any] = None) -> int:
+    leaves = jax.tree_util.tree_leaves(params)
+    if mask is None:
+        return int(sum(np.prod(l.shape) for l in leaves))
+    mleaves = jax.tree_util.tree_leaves(mask)
+    return int(sum(np.prod(l.shape) for l, m in zip(leaves, mleaves) if m))
+
+
+# ---------------------------------------------------------------------------
+# EMA
+# ---------------------------------------------------------------------------
+
+
+def ema_update(ema: Any, new: Any, decay: float) -> Any:
+    """Functional EMA: ema·d + new·(1−d) (reference ``update_ema_model``,
+    ``train_stage2_aggregator.py:719-722``)."""
+    return jax.tree_util.tree_map(lambda e, n: e * decay + n.astype(e.dtype) * (1.0 - decay), ema, new)
+
+
+def subset_params(params: Any, mask: Any) -> Any:
+    """Zero out everything not selected (for EMA of adapter-only subtrees the
+    full-tree EMA with a mask predicate is simpler; kept for API symmetry)."""
+    return jax.tree_util.tree_map(lambda p, m: p if m else jnp.zeros_like(p), params, mask)
+
+
+def masked_ema_update(ema: Any, new: Any, mask: Any, decay: float) -> Any:
+    """EMA only on masked leaves; others track ``new`` exactly."""
+    return jax.tree_util.tree_map(
+        lambda e, n, m: e * decay + n.astype(e.dtype) * (1.0 - decay) if m else n, ema, new, mask
+    )
+
+
+def swap_masked(params: Any, donor: Any, mask: Any) -> Any:
+    """Take masked leaves from ``donor``, the rest from ``params`` — the
+    functional analogue of the reference's EMA attn-processor swap
+    (``train_stage2_aggregator.py:1535-1540``)."""
+    return jax.tree_util.tree_map(lambda p, d, m: d if m else p, params, donor, mask)
+
+
+# ---------------------------------------------------------------------------
+# LR schedules
+# ---------------------------------------------------------------------------
+
+
+def lr_schedule(
+    name: str, base_lr: float, warmup_steps: int = 0, total_steps: int = 1_000_000
+) -> optax.Schedule:
+    """constant | cosine with linear warmup (the reference uses
+    ``get_scheduler('cosine'|'constant', warmup)``)."""
+    if name == "constant":
+        main = optax.constant_schedule(base_lr)
+    elif name == "cosine":
+        main = optax.cosine_decay_schedule(base_lr, max(total_steps - warmup_steps, 1))
+    else:
+        raise ValueError(f"unknown lr schedule {name}")
+    if warmup_steps <= 0:
+        return main
+    # start at 1/warmup of the target so the very first step is not a no-op
+    warmup = optax.linear_schedule(base_lr / warmup_steps, base_lr, warmup_steps)
+    return optax.join_schedules([warmup, main], [warmup_steps])
+
+
+def make_adamw(
+    lr: optax.Schedule | float,
+    weight_decay: float = 1e-2,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    max_grad_norm: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    if max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax) with the reference's checkpoint-{step} convention
+# ---------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    """checkpoint-{step} dirs + total-limit GC + resume-latest."""
+
+    def __init__(self, output_dir: str, total_limit: Optional[int] = None):
+        self.output_dir = output_dir
+        self.total_limit = total_limit
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _ckpt_dirs(self):
+        if not os.path.isdir(self.output_dir):
+            return []
+        dirs = [d for d in os.listdir(self.output_dir) if re.fullmatch(r"checkpoint-\d+", d)]
+        return sorted(dirs, key=lambda d: int(d.split("-")[1]))
+
+    def save(self, step: int, state: Dict[str, Any]):
+        import orbax.checkpoint as ocp
+
+        if self.total_limit is not None:
+            dirs = self._ckpt_dirs()
+            while len(dirs) >= self.total_limit:
+                shutil.rmtree(os.path.join(self.output_dir, dirs.pop(0)))
+        path = os.path.abspath(os.path.join(self.output_dir, f"checkpoint-{step}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "state"), state)
+        ckptr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        dirs = self._ckpt_dirs()
+        return int(dirs[-1].split("-")[1]) if dirs else None
+
+    def restore(self, step: int, template: Dict[str, Any]) -> Dict[str, Any]:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.output_dir, f"checkpoint-{step}", "state"))
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path, template)
+
+    def resume_latest(self, template: Dict[str, Any]) -> Tuple[Optional[int], Optional[Dict[str, Any]]]:
+        step = self.latest_step()
+        if step is None:
+            return None, None
+        return step, self.restore(step, template)
+
+
+# ---------------------------------------------------------------------------
+# logging
+# ---------------------------------------------------------------------------
+
+
+class Tracker:
+    """TensorBoard scalar/image logging (tensorboardX), no-op without logdir."""
+
+    def __init__(self, logdir: Optional[str]):
+        self.writer = None
+        if logdir:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(logdir)
+
+    def scalars(self, step: int, values: Dict[str, float]):
+        if self.writer is None:
+            return
+        for k, v in values.items():
+            self.writer.add_scalar(k, float(v), step)
+
+    def images(self, step: int, tag: str, images: np.ndarray):
+        """images: [N, H, W, 3] in [0, 1]."""
+        if self.writer is None:
+            return
+        self.writer.add_images(tag, np.clip(images, 0, 1), step, dataformats="NHWC")
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+# ---------------------------------------------------------------------------
+# timestep sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_timesteps(
+    key: jax.Array, batch: int, num_train_timesteps: int, importance_weights: Optional[np.ndarray] = None
+) -> jnp.ndarray:
+    """Uniform or importance-weighted t ~ p(t) (reference ``:648-651``)."""
+    if importance_weights is None:
+        return jax.random.randint(key, (batch,), 0, num_train_timesteps)
+    probs = jnp.asarray(importance_weights)
+    return jax.random.categorical(key, jnp.log(probs)[None].repeat(batch, 0), axis=-1)

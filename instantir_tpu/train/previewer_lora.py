@@ -1,0 +1,279 @@
+"""Previewer trainer: one-step LCM-LoRA distillation.
+
+Rebuild of ``train_previewer_lora.py:1360-1681``: distill the SDXL+adapter
+teacher into a previewer LoRA that denoises in one step. Per step:
+
+  1. sample solver index i; start_t = ddim_timesteps[i]; t = start_t − T/50
+     (clamped ≥ 0, ``:1416-1421``);
+  2. student (LoRA ON): ε̂ at start_t with *uncond text* + cond image embeds
+     → model_pred = c_skip·z + c_out·x̂0 (``:1450-1465``);
+  3. teacher (LoRA OFF, no grad): cond + uncond passes, LCM-style CFG
+     ``cond + w·(cond − uncond)`` with w∼U[w_min,w_max] (``:1486-1546``),
+     DDIM-step to x_prev (``:1550``);
+  4. target (LoRA ON, no grad — same network, no EMA): at t on x_prev →
+     target = c_skip·x_prev + c_out·x̂0 (``:1557-1582``);
+  5. Huber(model_pred, target) (``config_files/losses.yaml`` huber_c=1e-3);
+     update LoRA params only (incl. resampler LoRA).
+
+Latents are VAE-encoded **GT** images; the condition is the **degraded**
+image's DINOv2 tokens, so the distilled previewer restores while denoising.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instantir_tpu.data.degradation import RealESRGANDegradation
+from instantir_tpu.losses import DiffusionLossInputs, build_losses
+from instantir_tpu.losses.loss_config import LossesConfig, SingleLossConfig
+from instantir_tpu.models.dinov2 import preprocess_dinov2
+from instantir_tpu.models.vae import scale_latents
+from instantir_tpu.schedulers.diffusion import (
+    add_noise,
+    ddim_solver_timesteps,
+    lcm_boundary_scalings,
+    pred_eps_from_x0,
+    pred_x0_from_eps,
+    sdxl_schedule,
+)
+from instantir_tpu.train import common
+
+
+@dataclasses.dataclass
+class PreviewerConfig:
+    output_dir: str = "previewer_out"
+    max_train_steps: int = 1000
+    train_batch_size: int = 32
+    learning_rate: float = 1e-4
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 100
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    resolution: int = 512
+    num_ddim_timesteps: int = 50
+    w_min: float = 3.0
+    w_max: float = 15.0
+    lora_alpha: float = 1.0
+    image_drop_rate: float = 0.05
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: Optional[int] = 3
+    logging_steps: int = 10
+    seed: int = 42
+    sanity_check: bool = False
+    resume_from_checkpoint: Optional[str] = "latest"
+
+
+def lora_trainable_pred(path: Tuple[str, ...]) -> bool:
+    return any(p in ("lora_a", "lora_b") for p in path)
+
+
+def build_previewer_step(unet, resampler, vae, image_encoder, schedule, losses, cfg: PreviewerConfig):
+    solver_ts = jnp.asarray(ddim_solver_timesteps(schedule.num_train_timesteps, cfg.num_ddim_timesteps))
+    topk = schedule.num_train_timesteps // cfg.num_ddim_timesteps
+    alpha = cfg.lora_alpha
+
+    def unet_fwd(params, z, t, text, cond, ip, lora):
+        return unet.apply(
+            params["unet"],
+            z,
+            t,
+            encoder_hidden_states=text,
+            added_text_embeds=cond["pooled_embeds"],
+            added_time_ids=cond["time_ids"],
+            ip_hidden_states=ip,
+            lora_scale=lora,
+        )
+
+    def loss_fn(trainable, frozen, batch, key):
+        params = common.merge_params(trainable, frozen)
+        k_i, k_noise, k_w, k_drop, k_vae = jax.random.split(key, 5)
+        lq, gt = batch["lq"], batch["gt"]
+        bsz = gt.shape[0]
+        cond = batch
+
+        # conditions
+        pixels = preprocess_dinov2((lq + 1.0) / 2.0)
+        tokens_cond = image_encoder.apply(params["image_encoder"], pixels)
+        tokens_uncond = image_encoder.apply(params["image_encoder"], jnp.zeros_like(pixels))
+        drop = jax.random.uniform(k_drop, (bsz, 1, 1)) < cfg.image_drop_rate
+        tokens = jnp.where(drop, tokens_uncond, tokens_cond)
+        ip_lora = resampler.apply(params["resampler"], tokens, lora_scale=alpha)
+        ip_base = jax.lax.stop_gradient(resampler.apply(params["resampler"], tokens, lora_scale=0.0))
+        ip_uncond_base = jax.lax.stop_gradient(
+            resampler.apply(params["resampler"], tokens_uncond, lora_scale=0.0)
+        )
+
+        z0 = vae.apply(params["vae"], gt.astype(jnp.float32), rng=k_vae, sample=True, method=vae.encode)
+        latents = jax.lax.stop_gradient(scale_latents(vae.config, z0))
+
+        # solver timesteps
+        index = jax.random.randint(k_i, (bsz,), 0, cfg.num_ddim_timesteps)
+        start_t = solver_ts[index]
+        t = jnp.maximum(start_t - topk, 0)
+        c_skip_s, c_out_s = lcm_boundary_scalings(start_t, schedule.timestep_scaling)
+        c_skip, c_out = lcm_boundary_scalings(t, schedule.timestep_scaling)
+
+        def bcast(x):
+            return x.reshape(-1, 1, 1, 1).astype(latents.dtype)
+
+        noise = jax.random.normal(k_noise, latents.shape)
+        noisy = add_noise(schedule, latents, noise, start_t)
+        w = cfg.w_min + (cfg.w_max - cfg.w_min) * jax.random.uniform(k_w, (bsz, 1, 1, 1))
+
+        text, uncond_text = cond["prompt_embeds"], cond["uncond_prompt_embeds"]
+
+        # student (LoRA on, uncond text + cond image)
+        eps_student = unet_fwd(params, noisy, start_t, uncond_text, cond, ip_lora, alpha)
+        x0_student = pred_x0_from_eps(schedule, noisy, eps_student, start_t)
+        model_pred = bcast(c_skip_s) * noisy + bcast(c_out_s) * x0_student
+
+        # teacher (LoRA off, no grad): LCM-style CFG + DDIM step
+        def teacher():
+            eps_c = unet_fwd(params, noisy, start_t, text, cond, ip_base, 0.0)
+            eps_u = unet_fwd(params, noisy, start_t, uncond_text, cond, ip_uncond_base, 0.0)
+            x0_c = pred_x0_from_eps(schedule, noisy, eps_c, start_t)
+            x0_u = pred_x0_from_eps(schedule, noisy, eps_u, start_t)
+            x0 = x0_c + w * (x0_c - x0_u)
+            eps = eps_c + w * (eps_c - eps_u)
+            # DDIM to prev solver point: index-1 (alpha=final at index<0)
+            prev_t = jnp.where(index > 0, solver_ts[jnp.maximum(index - 1, 0)], -1)
+            abar_prev = jnp.where(
+                prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], schedule.final_alpha_cumprod
+            ).reshape(-1, 1, 1, 1)
+            return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps
+
+        x_prev = jax.lax.stop_gradient(teacher())
+
+        # target (LoRA on, no grad, same network)
+        def target_fn():
+            eps_t = unet_fwd(params, x_prev, t, uncond_text, cond, ip_lora, alpha)
+            x0_t = pred_x0_from_eps(schedule, x_prev, eps_t, t)
+            return bcast(c_skip) * x_prev + bcast(c_out) * x0_t
+
+        target = jax.lax.stop_gradient(target_fn())
+
+        total = 0.0
+        metrics = {}
+        for loss, wt in losses:
+            val = loss(DiffusionLossInputs(predicted=model_pred, target=target, timesteps=start_t))
+            total = total + wt * val
+            metrics[type(loss).__name__] = val
+        return total, metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(trainable, frozen, opt_state, tx, batch, key):
+        (loss, metrics), grads = grad_fn(trainable, frozen, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return trainable, opt_state, metrics
+
+    return step
+
+
+class PreviewerTrainer:
+    def __init__(
+        self,
+        unet,
+        resampler,
+        vae,
+        image_encoder,
+        params: Dict[str, Any],
+        cfg: PreviewerConfig,
+        losses_config: Optional[LossesConfig] = None,
+        schedule=None,
+    ):
+        self.cfg = cfg
+        self.schedule = schedule or sdxl_schedule()
+        losses = build_losses(
+            losses_config.lcm_losses
+            if losses_config and losses_config.lcm_losses
+            else [SingleLossConfig(name="HuberLoss", init_params={"huber_c": 0.001})]
+        )
+        self.unet = unet
+        self.trainable, self.frozen = common.partition_params(params, lora_trainable_pred)
+        if not self.trainable:
+            raise ValueError("no LoRA params found — build the UNet/Resampler with lora_rank > 0")
+        self.tx = common.make_adamw(
+            common.lr_schedule(cfg.lr_scheduler, cfg.learning_rate, cfg.lr_warmup_steps, cfg.max_train_steps),
+            weight_decay=cfg.weight_decay,
+            max_grad_norm=cfg.max_grad_norm,
+        )
+        self.opt_state = self.tx.init(self.trainable)
+        raw = build_previewer_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
+        self._step = jax.jit(lambda tr, fr, st, b, k: raw(tr, fr, st, self.tx, b, k))
+        self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
+        self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
+        self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
+        self.global_step = 0
+        print(f"[previewer] trainable LoRA params: {common.count_params(self.trainable)/1e6:.2f}M")
+
+    def resume(self):
+        if self.cfg.resume_from_checkpoint != "latest":
+            return
+        template = {"trainable": self.trainable, "opt_state": self.opt_state, "step": 0}
+        step, state = self.ckpt.resume_latest(template)
+        if state is not None:
+            self.trainable, self.opt_state, self.global_step = state["trainable"], state["opt_state"], int(state["step"])
+            print(f"[previewer] resumed from checkpoint-{step}")
+
+    def prepare_batch(self, batch, cond, key):
+        kernels = (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"]))
+        lq, gt = self.degradation(
+            key, jnp.asarray(batch["images"]), kernels=kernels,
+            host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
+        )
+        return {"lq": lq, "gt": gt, **cond}
+
+    def train_step(self, batch, key):
+        self.trainable, self.opt_state, metrics = self._step(self.trainable, self.frozen, self.opt_state, batch, key)
+        self.global_step += 1
+        return metrics
+
+    def run(self, data_iter, cond):
+        cfg = self.cfg
+        self.resume()
+        key = jax.random.PRNGKey(cfg.seed)
+        tic = time.time()
+        while self.global_step < cfg.max_train_steps:
+            key, k_deg, k_step = jax.random.split(key, 3)
+            batch = self.prepare_batch(next(data_iter), cond, k_deg)
+            metrics = self.train_step(batch, k_step)
+            if cfg.sanity_check:
+                print("[previewer] sanity check PASS", {k: float(v) for k, v in metrics.items()})
+                return
+            if self.global_step % cfg.logging_steps == 0:
+                dt = time.time() - tic
+                tic = time.time()
+                self.tracker.scalars(
+                    self.global_step,
+                    {**{k: float(v) for k, v in metrics.items()}, "steps_per_sec": cfg.logging_steps / dt},
+                )
+            if self.global_step % cfg.checkpointing_steps == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
+    def save_checkpoint(self):
+        self.ckpt.save(self.global_step, {"trainable": self.trainable, "opt_state": self.opt_state, "step": self.global_step})
+
+    def export_lora(self, path: str):
+        """diffusers-format previewer LoRA (``unet.<path>.lora_A/B.weight``),
+        the payload of ``previewer_lora_weights.bin``."""
+        import torch
+
+        from instantir_tpu.convert.flax_to_torch import export_unet
+
+        params = common.merge_params(self.trainable, self.frozen)
+        sd = export_unet(params["unet"])
+        lora_sd = {f"unet.{k}": torch.from_numpy(np.asarray(v)) for k, v in sd.items() if "lora_" in k}
+        torch.save(lora_sd, path)

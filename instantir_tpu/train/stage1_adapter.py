@@ -1,0 +1,246 @@
+"""Stage-1 trainer: DCP adapter pretraining (Resampler + IP attention).
+
+Rebuild of ``train_stage1_adapter.py``: train only the image-prompt pathway
+(Resampler + to_k_ip/to_v_ip/ln_k_ip/ln_v_ip) on the ε-MSE objective with
+the *degraded* image's DINOv2 tokens as condition (``:1097-1237``):
+
+  degrade → DINO embeds (with image-drop → zero-image embeds, ``:1108-1127``)
+  → VAE-encode GT → importance-sample t → add noise
+  → UNet forward (IP attention, no LoRA, no aggregator, ``:1155-1160``)
+  → Σ weighted diffusion losses → update ip params only (``:836-844``).
+
+TPU-native: one jitted train step over (trainable, frozen) param partitions;
+DP via batch sharding on the mesh's ``data`` axis (XLA inserts the gradient
+all-reduce); the degradation pipeline runs on device ahead of the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instantir_tpu.data.degradation import RealESRGANDegradation
+from instantir_tpu.losses import DiffusionLossInputs, build_losses
+from instantir_tpu.losses.loss_config import LossesConfig, SingleLossConfig
+from instantir_tpu.models.dinov2 import preprocess_dinov2
+from instantir_tpu.models.vae import scale_latents
+from instantir_tpu.schedulers.diffusion import add_noise, importance_sampling_weights, sdxl_schedule
+from instantir_tpu.train import common
+
+
+@dataclasses.dataclass
+class Stage1Config:
+    output_dir: str = "stage1_out"
+    max_train_steps: int = 1000
+    train_batch_size: int = 96
+    learning_rate: float = 1e-4
+    lr_scheduler: str = "cosine"
+    lr_warmup_steps: int = 100
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    resolution: int = 512
+    image_drop_rate: float = 0.05
+    importance_sampling: bool = False
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: Optional[int] = 3
+    logging_steps: int = 10
+    seed: int = 42
+    sanity_check: bool = False
+    resume_from_checkpoint: Optional[str] = "latest"
+
+
+def stage1_trainable_pred(path: Tuple[str, ...]) -> bool:
+    joined = "/".join(path)
+    if "lora_" in joined:
+        return False
+    if path[0] == "resampler":
+        return True
+    return path[0] == "unet" and any(n in joined for n in ("to_k_ip", "to_v_ip", "ln_k_ip", "ln_v_ip"))
+
+
+def build_stage1_step(
+    unet,
+    resampler,
+    vae,
+    image_encoder,
+    schedule,
+    losses,
+    cfg: Stage1Config,
+):
+    """Returns jitted ``step(trainable, frozen, opt_state, batch, key)``."""
+
+    def loss_fn(trainable, frozen, batch, key):
+        params = common.merge_params(trainable, frozen)
+        k_t, k_noise, k_drop, k_vae = jax.random.split(key, 4)
+        lq, gt = batch["lq"], batch["gt"]  # [-1,1]
+        bsz = gt.shape[0]
+
+        # DINOv2 embeds of the degraded image, with per-sample image drop
+        pixels = preprocess_dinov2((lq + 1.0) / 2.0)
+        tokens_cond = image_encoder.apply(params["image_encoder"], pixels)
+        tokens_uncond = image_encoder.apply(params["image_encoder"], jnp.zeros_like(pixels))
+        drop = jax.random.uniform(k_drop, (bsz, 1, 1)) < cfg.image_drop_rate
+        tokens = jnp.where(drop, tokens_uncond, tokens_cond)
+        ip_tokens = resampler.apply(params["resampler"], tokens)
+
+        # GT latents
+        z = vae.apply(params["vae"], gt.astype(jnp.float32), rng=k_vae, sample=True, method=vae.encode)
+        latents = jax.lax.stop_gradient(scale_latents(vae.config, z))
+
+        iw = importance_sampling_weights(schedule.num_train_timesteps) if cfg.importance_sampling else None
+        t = common.sample_timesteps(k_t, bsz, schedule.num_train_timesteps, iw)
+        noise = jax.random.normal(k_noise, latents.shape)
+        noisy = add_noise(schedule, latents, noise, t)
+
+        eps_pred = unet.apply(
+            params["unet"],
+            noisy,
+            t,
+            encoder_hidden_states=batch["prompt_embeds"],
+            added_text_embeds=batch["pooled_embeds"],
+            added_time_ids=batch["time_ids"],
+            ip_hidden_states=ip_tokens,
+        )
+
+        weights = None
+        if cfg.importance_sampling:
+            # weight ∝ 1 / (T·p(t)) so the weighted objective stays unbiased
+            p = jnp.asarray(iw)[t]
+            weights = 1.0 / (schedule.num_train_timesteps * p)
+
+        total = 0.0
+        metrics = {}
+        for loss, w in losses:
+            val = loss(DiffusionLossInputs(predicted=eps_pred, target=noise, timesteps=t, weights=weights))
+            total = total + w * val
+            metrics[type(loss).__name__] = val
+        return total, metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(trainable, frozen, opt_state, tx, batch, key):
+        (loss, metrics), grads = grad_fn(trainable, frozen, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return trainable, opt_state, metrics
+
+    return step
+
+
+class Stage1Trainer:
+    """Host loop: data → degradation → jitted step → log/checkpoint."""
+
+    def __init__(
+        self,
+        unet,
+        resampler,
+        vae,
+        image_encoder,
+        params: Dict[str, Any],
+        cfg: Stage1Config,
+        losses_config: Optional[LossesConfig] = None,
+        schedule=None,
+    ):
+        self.cfg = cfg
+        self.schedule = schedule or sdxl_schedule()
+        losses = build_losses(
+            losses_config.diffusion_losses if losses_config else [SingleLossConfig(name="L2Loss")]
+        )
+        self.unet, self.resampler, self.vae, self.image_encoder = unet, resampler, vae, image_encoder
+        self.trainable, self.frozen = common.partition_params(params, stage1_trainable_pred)
+        n_train = common.count_params(self.trainable)
+        self.tx = common.make_adamw(
+            common.lr_schedule(cfg.lr_scheduler, cfg.learning_rate, cfg.lr_warmup_steps, cfg.max_train_steps),
+            weight_decay=cfg.weight_decay,
+            max_grad_norm=cfg.max_grad_norm,
+        )
+        self.opt_state = self.tx.init(self.trainable)
+        raw_step = build_stage1_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
+        self._step = jax.jit(lambda tr, fr, st, batch, key: raw_step(tr, fr, st, self.tx, batch, key))
+        self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
+        self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
+        self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
+        self.global_step = 0
+        print(f"[stage1] trainable params: {n_train/1e6:.2f}M")
+
+    def resume(self):
+        if self.cfg.resume_from_checkpoint != "latest":
+            return
+        template = {"trainable": self.trainable, "opt_state": self.opt_state, "step": 0}
+        step, state = self.ckpt.resume_latest(template)
+        if state is not None:
+            self.trainable = state["trainable"]
+            self.opt_state = state["opt_state"]
+            self.global_step = int(state["step"])
+            print(f"[stage1] resumed from checkpoint-{step}")
+
+    def prepare_batch(self, batch: Dict[str, np.ndarray], cond: Dict[str, jnp.ndarray], key) -> Dict:
+        kernels = (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"]))
+        lq, gt = self.degradation(
+            key, jnp.asarray(batch["images"]), kernels=kernels,
+            host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
+        )
+        return {"lq": lq, "gt": gt, **cond}
+
+    def train_step(self, batch: Dict, key) -> Dict[str, float]:
+        self.trainable, self.opt_state, metrics = self._step(self.trainable, self.frozen, self.opt_state, batch, key)
+        self.global_step += 1
+        return metrics
+
+    def run(self, data_iter, cond: Dict[str, jnp.ndarray]):
+        cfg = self.cfg
+        self.resume()
+        key = jax.random.PRNGKey(cfg.seed)
+        tic = time.time()
+        while self.global_step < cfg.max_train_steps:
+            key, k_deg, k_step = jax.random.split(key, 3)
+            batch = self.prepare_batch(next(data_iter), cond, k_deg)
+            if cfg.sanity_check:
+                print("[stage1] sanity check: one batch prepared", {k: v.shape for k, v in batch.items()})
+                metrics = self.train_step(batch, k_step)
+                print("[stage1] sanity check PASS", {k: float(v) for k, v in metrics.items()})
+                return
+            metrics = self.train_step(batch, k_step)
+            if self.global_step % cfg.logging_steps == 0:
+                dt = time.time() - tic
+                tic = time.time()
+                self.tracker.scalars(
+                    self.global_step,
+                    {**{k: float(v) for k, v in metrics.items()}, "steps_per_sec": cfg.logging_steps / dt},
+                )
+            if self.global_step % cfg.checkpointing_steps == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
+    def save_checkpoint(self):
+        self.ckpt.save(
+            self.global_step,
+            {"trainable": self.trainable, "opt_state": self.opt_state, "step": self.global_step},
+        )
+
+    def export_adapter(self, path: str):
+        """Write the reference-format ``adapter_ckpt.pt`` payload
+        ({image_proj, ip_adapter}) — ``train_stage1_adapter.py:753-785``."""
+        import torch
+
+        from instantir_tpu.convert.flax_to_torch import export_ip_adapter, export_resampler
+
+        params = common.merge_params(self.trainable, self.frozen)
+        payload = {
+            "image_proj": {k: torch.from_numpy(np.asarray(v)) for k, v in export_resampler(params["resampler"]).items()},
+            "ip_adapter": {
+                k: torch.from_numpy(np.asarray(v))
+                for k, v in export_ip_adapter(params["unet"], self.unet.config).items()
+            },
+        }
+        torch.save(payload, path)

@@ -1,0 +1,322 @@
+"""Stage-2 trainer: Aggregator training with the frozen previewer.
+
+Rebuild of ``train_stage2_aggregator.py:1451-1676``. Per step:
+
+  1. drop conditions: one uniform per sample partitions into image-drop /
+     text-drop / both (``:1461-1467``);
+  2. degrade → DINO embeds → VAE-encode GT and LQ (``:1469-1484``);
+  3. t ~ U[0,T); noisy GT (``:1496-1502``);
+  4. previewer (no grad, **EMA adapter** + LoRA ON): predicts ε on the noisy
+     GT with optional train-time CFG w∼U[1,CFG_scale] (``:1505-1552``) →
+     LCM single-step preview (``:1553-1558``);
+  5. aggregator(LQ latent, t, preview) → residuals (grad!, ``:1571-1579``);
+  6. main UNet (LoRA OFF, live adapter) on noisy GT with residuals → ε̂
+     (``:1583-1593``); ε-MSE with importance weights (``:1595-1607``);
+  7. update aggregator (+ adapter if ``optimize_adapter``); EMA-update the
+     adapter copy every ``ema_update_steps`` (``:1625-1628``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from instantir_tpu.data.degradation import RealESRGANDegradation
+from instantir_tpu.losses import DiffusionLossInputs, build_losses
+from instantir_tpu.losses.loss_config import LossesConfig, SingleLossConfig
+from instantir_tpu.models.dinov2 import preprocess_dinov2
+from instantir_tpu.models.vae import scale_latents
+from instantir_tpu.schedulers.diffusion import add_noise, importance_sampling_weights, lcm_single_step, sdxl_schedule
+from instantir_tpu.train import common
+from instantir_tpu.train.stage1_adapter import stage1_trainable_pred
+
+
+@dataclasses.dataclass
+class Stage2Config:
+    output_dir: str = "stage2_out"
+    max_train_steps: int = 1000
+    train_batch_size: int = 6
+    learning_rate: float = 1e-4
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 100
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    resolution: int = 512
+    image_drop_rate: float = 0.0
+    text_drop_rate: float = 0.85
+    cond_drop_rate: float = 0.15
+    cfg_scale: float = 1.0  # train-time previewer CFG (--CFG_scale)
+    lora_alpha: float = 1.0
+    optimize_adapter: bool = False
+    use_ema_adapter: bool = True
+    ema_decay: float = 0.999
+    ema_update_steps: int = 1
+    importance_sampling: bool = False
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: Optional[int] = 3
+    logging_steps: int = 10
+    seed: int = 42
+    sanity_check: bool = False
+    resume_from_checkpoint: Optional[str] = "latest"
+
+
+def stage2_trainable_pred(cfg: Stage2Config):
+    def pred(path: Tuple[str, ...]) -> bool:
+        if path[0] == "aggregator":
+            return True
+        if cfg.optimize_adapter:
+            return stage1_trainable_pred(path)
+        return False
+
+    return pred
+
+
+ADAPTER_EMA_PRED = lambda path: stage1_trainable_pred(path)  # noqa: E731
+
+
+def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule, losses, cfg: Stage2Config):
+    alpha = cfg.lora_alpha
+    iw = importance_sampling_weights(schedule.num_train_timesteps) if cfg.importance_sampling else None
+
+    def loss_fn(trainable, frozen, ema_adapter, batch, key):
+        params = common.merge_params(trainable, frozen)
+        # previewer uses the EMA adapter subtree (functional swap)
+        if ema_adapter is not None:
+            preview_params = common.merge_params(ema_adapter, {
+                k: v for k, v in {**trainable, **frozen}.items() if k not in ema_adapter
+            })
+        else:
+            preview_params = params
+
+        k_t, k_noise, k_drop, k_w, k_vae1, k_vae2 = jax.random.split(key, 6)
+        lq, gt = batch["lq"], batch["gt"]
+        bsz = gt.shape[0]
+
+        # condition drops (single uniform partition, reference :1461-1467)
+        r = jax.random.uniform(k_drop, (bsz,))
+        drop_image = r < cfg.image_drop_rate
+        drop_text = (r >= cfg.image_drop_rate) & (r < cfg.image_drop_rate + cfg.text_drop_rate)
+        drop_both = (r >= cfg.image_drop_rate + cfg.text_drop_rate) & (
+            r < cfg.image_drop_rate + cfg.text_drop_rate + cfg.cond_drop_rate
+        )
+        drop_image = drop_image | drop_both
+        drop_text = drop_text | drop_both
+
+        pixels = preprocess_dinov2((lq + 1.0) / 2.0)
+        tokens_cond = image_encoder.apply(params["image_encoder"], pixels)
+        tokens_uncond = image_encoder.apply(params["image_encoder"], jnp.zeros_like(pixels))
+        tokens = jnp.where(drop_image[:, None, None], tokens_uncond, tokens_cond)
+
+        text = jnp.where(drop_text[:, None, None], batch["uncond_prompt_embeds"], batch["prompt_embeds"])
+        pooled = jnp.where(drop_text[:, None], batch["uncond_pooled_embeds"], batch["pooled_embeds"])
+        cond = {"pooled_embeds": pooled, "time_ids": batch["time_ids"]}
+
+        gt_latent = scale_latents(
+            vae.config, vae.apply(params["vae"], gt.astype(jnp.float32), rng=k_vae1, sample=True, method=vae.encode)
+        )
+        lq_latent = scale_latents(
+            vae.config, vae.apply(params["vae"], lq.astype(jnp.float32), rng=k_vae2, sample=True, method=vae.encode)
+        )
+        gt_latent = jax.lax.stop_gradient(gt_latent)
+        lq_latent = jax.lax.stop_gradient(lq_latent)
+
+        t = common.sample_timesteps(k_t, bsz, schedule.num_train_timesteps, iw)
+        noise = jax.random.normal(k_noise, gt_latent.shape)
+        noisy = add_noise(schedule, gt_latent, noise, t)
+
+        # previewer pass (no grad, EMA adapter, LoRA on)
+        def previewer():
+            ip = resampler.apply(preview_params["resampler"], tokens, lora_scale=alpha)
+
+            def fwd(z, text_in, ip_in):
+                return unet.apply(
+                    preview_params["unet"],
+                    z,
+                    t,
+                    encoder_hidden_states=text_in,
+                    added_text_embeds=cond["pooled_embeds"],
+                    added_time_ids=cond["time_ids"],
+                    ip_hidden_states=ip_in,
+                    lora_scale=alpha,
+                )
+
+            eps = fwd(noisy, text, ip)
+            if cfg.cfg_scale > 1.0:
+                ip_u = resampler.apply(preview_params["resampler"], tokens_uncond, lora_scale=alpha)
+                eps_u = fwd(noisy, batch["uncond_prompt_embeds"], ip_u)
+                w = 1.0 + jax.random.uniform(k_w, (bsz, 1, 1, 1)) * (cfg.cfg_scale - 1.0)
+                eps = eps_u + w * (eps - eps_u)
+            return lcm_single_step(schedule, eps, t, noisy)
+
+        preview_latents = jax.lax.stop_gradient(previewer())
+        preview_err = jnp.mean((preview_latents - gt_latent) ** 2)
+
+        # aggregator (grad)
+        down_res, mid_res = aggregator.apply(
+            params["aggregator"],
+            lq_latent,
+            t,
+            controlnet_cond=preview_latents,
+            added_text_embeds=cond["pooled_embeds"],
+            added_time_ids=cond["time_ids"],
+        )
+
+        # main UNet (LoRA off, live adapter)
+        ip_base = resampler.apply(params["resampler"], tokens, lora_scale=0.0)
+        eps_pred = unet.apply(
+            params["unet"],
+            noisy,
+            t,
+            encoder_hidden_states=text,
+            added_text_embeds=cond["pooled_embeds"],
+            added_time_ids=cond["time_ids"],
+            ip_hidden_states=ip_base,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res,
+            lora_scale=0.0,
+        )
+
+        weights = None
+        if cfg.importance_sampling:
+            p = jnp.asarray(iw)[t]
+            weights = 1.0 / (schedule.num_train_timesteps * p)
+
+        total = 0.0
+        metrics = {"preview_error_latent": preview_err}
+        for loss, w in losses:
+            val = loss(DiffusionLossInputs(predicted=eps_pred, target=noise, timesteps=t, weights=weights))
+            total = total + w * val
+            metrics[type(loss).__name__] = val
+        return total, metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(trainable, frozen, ema_adapter, opt_state, tx, batch, key):
+        (loss, metrics), grads = grad_fn(trainable, frozen, ema_adapter, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return trainable, opt_state, metrics
+
+    return step
+
+
+class Stage2Trainer:
+    def __init__(
+        self,
+        unet,
+        aggregator,
+        resampler,
+        vae,
+        image_encoder,
+        params: Dict[str, Any],
+        cfg: Stage2Config,
+        losses_config: Optional[LossesConfig] = None,
+        schedule=None,
+    ):
+        self.cfg = cfg
+        self.schedule = schedule or sdxl_schedule()
+        losses = build_losses(
+            losses_config.diffusion_losses if losses_config else [SingleLossConfig(name="L2Loss")]
+        )
+        self.aggregator = aggregator
+        self.trainable, self.frozen = common.partition_params(params, stage2_trainable_pred(cfg))
+        # EMA copy of the adapter subtree (resampler + ip attn params)
+        self.ema_adapter = None
+        if cfg.use_ema_adapter:
+            adapter, _ = common.partition_params(params, ADAPTER_EMA_PRED)
+            self.ema_adapter = jax.tree_util.tree_map(lambda x: x, adapter)
+        self.tx = common.make_adamw(
+            common.lr_schedule(cfg.lr_scheduler, cfg.learning_rate, cfg.lr_warmup_steps, cfg.max_train_steps),
+            weight_decay=cfg.weight_decay,
+            max_grad_norm=cfg.max_grad_norm,
+        )
+        self.opt_state = self.tx.init(self.trainable)
+        raw = build_stage2_step(unet, aggregator, resampler, vae, image_encoder, self.schedule, losses, cfg)
+        self._step = jax.jit(lambda tr, fr, ema, st, b, k: raw(tr, fr, ema, st, self.tx, b, k))
+        self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
+        self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
+        self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
+        self.global_step = 0
+        print(f"[stage2] trainable params: {common.count_params(self.trainable)/1e6:.2f}M")
+
+    def _live_adapter(self):
+        return common.partition_params(common.merge_params(self.trainable, self.frozen), ADAPTER_EMA_PRED)[0]
+
+    def resume(self):
+        if self.cfg.resume_from_checkpoint != "latest":
+            return
+        template = {"trainable": self.trainable, "opt_state": self.opt_state, "step": 0}
+        if self.ema_adapter is not None:
+            template["ema_adapter"] = self.ema_adapter
+        step, state = self.ckpt.resume_latest(template)
+        if state is not None:
+            self.trainable, self.opt_state, self.global_step = state["trainable"], state["opt_state"], int(state["step"])
+            self.ema_adapter = state.get("ema_adapter", self.ema_adapter)
+            print(f"[stage2] resumed from checkpoint-{step}")
+
+    def prepare_batch(self, batch, cond, key):
+        kernels = (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"]))
+        lq, gt = self.degradation(
+            key, jnp.asarray(batch["images"]), kernels=kernels,
+            host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
+        )
+        return {"lq": lq, "gt": gt, **cond}
+
+    def train_step(self, batch, key):
+        self.trainable, self.opt_state, metrics = self._step(
+            self.trainable, self.frozen, self.ema_adapter, self.opt_state, batch, key
+        )
+        self.global_step += 1
+        if self.ema_adapter is not None and self.cfg.optimize_adapter and (
+            self.global_step % self.cfg.ema_update_steps == 0
+        ):
+            self.ema_adapter = common.ema_update(self.ema_adapter, self._live_adapter(), self.cfg.ema_decay)
+        return metrics
+
+    def run(self, data_iter, cond):
+        cfg = self.cfg
+        self.resume()
+        key = jax.random.PRNGKey(cfg.seed)
+        tic = time.time()
+        while self.global_step < cfg.max_train_steps:
+            key, k_deg, k_step = jax.random.split(key, 3)
+            batch = self.prepare_batch(next(data_iter), cond, k_deg)
+            metrics = self.train_step(batch, k_step)
+            if cfg.sanity_check:
+                print("[stage2] sanity check PASS", {k: float(v) for k, v in metrics.items()})
+                return
+            if self.global_step % cfg.logging_steps == 0:
+                dt = time.time() - tic
+                tic = time.time()
+                self.tracker.scalars(
+                    self.global_step,
+                    {**{k: float(v) for k, v in metrics.items()}, "steps_per_sec": cfg.logging_steps / dt},
+                )
+            if self.global_step % cfg.checkpointing_steps == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
+    def save_checkpoint(self):
+        state = {"trainable": self.trainable, "opt_state": self.opt_state, "step": self.global_step}
+        if self.ema_adapter is not None:
+            state["ema_adapter"] = self.ema_adapter
+        self.ckpt.save(self.global_step, state)
+
+    def export_aggregator(self, path: str):
+        """Reference-format ``aggregator_ckpt.pt`` (``train_stage2_aggregator.py:1023-1043``)."""
+        import torch
+
+        from instantir_tpu.convert.flax_to_torch import export_aggregator
+
+        params = common.merge_params(self.trainable, self.frozen)
+        sd = {k: torch.from_numpy(np.asarray(v)) for k, v in export_aggregator(params["aggregator"]).items()}
+        torch.save(sd, path)
