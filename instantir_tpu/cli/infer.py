@@ -1,0 +1,162 @@
+"""CLI restoration driver — the framework's equivalent of ``infer.py``.
+
+Batch driver: list images → resize to /64-aligned runtime size (min side
+768, max 1024 — ``infer.py:31-66``) → default quality prompts
+(``infer.py:192-210``) → InstantIR restore → resize back + save.
+
+Usage:
+  python -m instantir_tpu.cli.infer \
+      --sdxl_path /path/sdxl --instantir_path /path/instantir \
+      --vision_encoder_path /path/dinov2 --test_path lq_dir --out_path out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_PROMPT = (
+    "Photorealistic, highly detailed, hyper detailed photo - realistic maximum detail, 32k, "
+    "ultra HD, extreme meticulous detailing, skin pore detailing, "
+    "hyper sharpness, perfect without deformations, "
+    "taken using a Canon EOS R camera, Cinematic, High Contrast, Color Grading. "
+)
+DEFAULT_NEG_PROMPT = (
+    "blurry, out of focus, unclear, depth of field, over-smooth, "
+    "sketch, oil painting, cartoon, CG Style, 3D render, unreal engine, "
+    "dirty, messy, worst quality, low quality, frames, painting, illustration, drawing, art, "
+    "watermark, signature, jpeg artifacts, deformed, lowres"
+)
+
+
+def resize_img(
+    pil_image,
+    max_side: int = 1024,
+    min_side: int = 768,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+    base_pixel_number: int = 64,
+):
+    """Reference ``resize_img`` (``infer.py:31-66``): fit to [min,max] side
+    then floor to /64 multiples; returns (resized, original out size)."""
+    from PIL import Image
+
+    w, h = pil_image.size
+    if width is not None and height is not None:
+        out_w, out_h = width, height
+    elif width is not None:
+        out_w, out_h = width, round(h * width / w)
+    elif height is not None:
+        out_w, out_h = round(w * height / h), height
+    else:
+        out_w, out_h = w, h
+    w, h = out_w, out_h
+    if min(w, h) < min_side:
+        ratio = min_side / min(w, h)
+        w, h = round(ratio * w), round(ratio * h)
+    if max(w, h) > max_side:
+        ratio = max_side / max(w, h)
+        w, h = round(ratio * w), round(ratio * h)
+    w_new = (w // base_pixel_number) * base_pixel_number
+    h_new = (h // base_pixel_number) * base_pixel_number
+    return pil_image.resize([w_new, h_new], Image.BILINEAR), (out_w, out_h)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="InstantIR-TPU restoration")
+    p.add_argument("--sdxl_path", type=str, required=True)
+    p.add_argument("--instantir_path", type=str, required=True)
+    p.add_argument("--vision_encoder_path", type=str, required=True)
+    p.add_argument("--adapter_model_path", type=str, default=None)
+    p.add_argument("--previewer_lora_path", type=str, default=None)
+    p.add_argument("--test_path", type=str, required=True)
+    p.add_argument("--out_path", type=str, default="./output")
+    p.add_argument("--post_fix", type=str, default=None)
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--cfg", type=float, default=7.0)
+    p.add_argument("--preview_start", type=float, default=0.0)
+    p.add_argument("--creative_start", type=float, default=1.0, help="maps to control_guidance_end")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--neg_prompt", type=str, default=None)
+    p.add_argument("--save_preview_row", action="store_true")
+    return p
+
+
+def main(argv: Optional[List[str]] = None):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from instantir_tpu.models.clip_text import encode_sdxl_prompt
+    from instantir_tpu.pipeline.instantir import RestoreConfig
+    from instantir_tpu.pipeline.load import load_instantir_pipeline, load_text_encoders
+
+    args = build_parser().parse_args(argv)
+    pipe = load_instantir_pipeline(
+        args.sdxl_path,
+        args.instantir_path,
+        vision_encoder_path=args.vision_encoder_path,
+        adapter_path=args.adapter_model_path,
+        previewer_lora_path=args.previewer_lora_path,
+    )
+    (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
+
+    def encode(prompts: List[str]):
+        ids1 = jnp.asarray([tok1(p, padding="max_length", max_length=77, truncation=True)["input_ids"] for p in prompts])
+        ids2 = jnp.asarray([tok2(p, padding="max_length", max_length=77, truncation=True)["input_ids"] for p in prompts])
+        return encode_sdxl_prompt(enc1, p1, enc2, p2, ids1, ids2)
+
+    post_fix = f"_{args.post_fix}" if args.post_fix else ""
+    out_dir = os.path.join(args.out_path, post_fix)
+    os.makedirs(out_dir, exist_ok=True)
+    processed = set(os.listdir(out_dir))
+
+    if os.path.isfile(args.test_path):
+        all_inputs = [os.path.basename(args.test_path)]
+        base_dir = os.path.dirname(args.test_path)
+    else:
+        all_inputs = sorted(os.listdir(args.test_path))
+        base_dir = args.test_path
+    files = [f for f in all_inputs if f not in processed]
+
+    prompt = args.prompt or DEFAULT_PROMPT
+    neg = args.neg_prompt or DEFAULT_NEG_PROMPT
+    cfg = RestoreConfig(
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.cfg,
+        preview_start=args.preview_start,
+        control_guidance_end=args.creative_start,
+        save_preview_row=args.save_preview_row,
+        lora_alpha=1.0,
+    )
+
+    for i in range(0, len(files), args.batch_size):
+        batch_files = files[i : i + args.batch_size]
+        imgs, out_sizes = [], []
+        for f in batch_files:
+            im, out_size = resize_img(Image.open(os.path.join(base_dir, f)).convert("RGB"),
+                                      width=args.width, height=args.height)
+            imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+            out_sizes.append(out_size)
+        lq = jnp.asarray(np.stack(imgs))
+        pe, pooled = encode([prompt] * len(batch_files))
+        npe, npooled = encode([neg] * len(batch_files))
+        image, previews = pipe.restore(
+            lq, pe, pooled, negative_prompt_embeds=npe, negative_pooled_embeds=npooled,
+            cfg=cfg, key=jax.random.PRNGKey(args.seed),
+        )
+        image = np.asarray((np.clip(np.asarray(image), -1, 1) + 1) * 127.5).astype(np.uint8)
+        for f, im, size in zip(batch_files, image, out_sizes):
+            Image.fromarray(im).resize(size, Image.BILINEAR).save(os.path.join(out_dir, f))
+        print(f"[infer] wrote {len(batch_files)} images → {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Training entry points — the framework's equivalents of the reference's
+``train_stage1_adapter.py`` / ``train_previewer_lora.py`` /
+``train_stage2_aggregator.py`` CLIs.
+
+Single-binary design: ``python -m instantir_tpu.cli.train stage1|previewer|stage2 ...``.
+Multi-chip data parallelism comes from the device mesh (all local devices by
+default) — batches shard over the ``data`` axis, XLA all-reduces gradients
+over ICI; no accelerate-style launcher is needed on a single host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="InstantIR-TPU trainers")
+    p.add_argument("stage", choices=["stage1", "previewer", "stage2"])
+    p.add_argument("--sdxl_path", type=str, default=None, help="diffusers SDXL dir (omit for random init)")
+    p.add_argument("--vision_encoder_path", type=str, default=None)
+    p.add_argument("--adapter_path", type=str, default=None, help="adapter.pt from stage 1")
+    p.add_argument("--previewer_lora_path", type=str, default=None)
+    p.add_argument("--data_config", type=str, default="config_files/IR_dataset.yaml")
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--losses_config", type=str, default="config_files/losses.yaml")
+    p.add_argument("--output_dir", type=str, default="output")
+    p.add_argument("--max_train_steps", type=int, default=10000)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler", type=str, default="cosine")
+    p.add_argument("--lr_warmup_steps", type=int, default=100)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--sanity_check", action="store_true")
+    p.add_argument("--resume_from_checkpoint", type=str, default="latest")
+    p.add_argument("--prompt", type=str, default="", help="training caption (default empty)")
+    # stage-specific knobs
+    p.add_argument("--image_drop_rate", type=float, default=0.05)
+    p.add_argument("--text_drop_rate", type=float, default=0.85)
+    p.add_argument("--cond_drop_rate", type=float, default=0.15)
+    p.add_argument("--CFG_scale", type=float, default=1.0)
+    p.add_argument("--use_ema_adapter", action="store_true")
+    p.add_argument("--optimize_adapter", action="store_true")
+    p.add_argument("--importance_sampling", action="store_true")
+    p.add_argument("--num_ddim_timesteps", type=int, default=50)
+    p.add_argument("--w_min", type=float, default=3.0)
+    p.add_argument("--w_max", type=float, default=15.0)
+    p.add_argument("--synthetic_data", action="store_true", help="procedural data (smoke tests)")
+    return p
+
+
+def _build_models(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.sdxl_path:
+        from instantir_tpu.pipeline.load import load_instantir_pipeline
+
+        pipe = load_instantir_pipeline(
+            args.sdxl_path,
+            args.adapter_path or args.sdxl_path,
+            vision_encoder_path=args.vision_encoder_path,
+            previewer_lora_path=args.previewer_lora_path,
+        )
+        return pipe
+    # random init at full architecture (for from-scratch experimentation)
+    from instantir_tpu.models.dinov2 import dinov2_large_config
+    from instantir_tpu.models.resampler import instantir_resampler_config
+    from instantir_tpu.models.unet import sdxl_base_config
+    from instantir_tpu.models.vae import sdxl_vae_config
+    from instantir_tpu.pipeline.factory import build_pipeline
+
+    return build_pipeline(
+        sdxl_base_config(with_ip=True, lora_rank=64),
+        sdxl_vae_config(),
+        instantir_resampler_config(lora_rank=64),
+        dinov2_large_config(),
+        jax.random.PRNGKey(args.seed),
+        dtype=jnp.bfloat16,
+        image_size=args.resolution,
+    )
+
+
+def _conditioning(args, pipe, batch_size: int):
+    """Prompt conditioning for training batches. With an SDXL path the real
+    CLIP towers encode ``args.prompt`` (and "" as uncond); otherwise zeros."""
+    import jax.numpy as jnp
+
+    cross = pipe.unet.config.cross_attention_dim
+    pooled_dim = (
+        pipe.unet.config.projection_class_embeddings_input_dim - pipe.unet.config.addition_time_embed_dim * 6
+    )
+    res = args.resolution
+    cond = {
+        "prompt_embeds": jnp.zeros((batch_size, 77, cross), jnp.float32),
+        "uncond_prompt_embeds": jnp.zeros((batch_size, 77, cross), jnp.float32),
+        "pooled_embeds": jnp.zeros((batch_size, pooled_dim), jnp.float32),
+        "uncond_pooled_embeds": jnp.zeros((batch_size, pooled_dim), jnp.float32),
+        "time_ids": jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32), (batch_size, 1)),
+    }
+    if args.sdxl_path:
+        from instantir_tpu.models.clip_text import encode_sdxl_prompt
+        from instantir_tpu.pipeline.load import load_text_encoders
+
+        (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
+
+        def encode(text):
+            ids1 = jnp.asarray([tok1(text, padding="max_length", max_length=77, truncation=True)["input_ids"]] * batch_size)
+            ids2 = jnp.asarray([tok2(text, padding="max_length", max_length=77, truncation=True)["input_ids"]] * batch_size)
+            return encode_sdxl_prompt(enc1, p1, enc2, p2, ids1, ids2)
+
+        pe, pooled = encode(args.prompt)
+        npe, npooled = encode("")
+        cond.update(
+            prompt_embeds=pe, pooled_embeds=pooled, uncond_prompt_embeds=npe, uncond_pooled_embeds=npooled
+        )
+    return cond
+
+
+def _data_iter(args):
+    if args.synthetic_data:
+        from instantir_tpu.data.dataset import SyntheticImageDataset
+
+        ds = SyntheticImageDataset(seed=args.seed)
+    else:
+        from instantir_tpu.data.dataset import WeightedImageDataset, load_data_config
+
+        ds = WeightedImageDataset(load_data_config(args.data_config, args.data_dir), seed=args.seed)
+    return ds.batches(batch_size=args.train_batch_size, gt_size=args.resolution * 4)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from instantir_tpu.losses import load_losses_config
+
+    losses_cfg = load_losses_config(args.losses_config) if os.path.exists(args.losses_config) else None
+    pipe = _build_models(args)
+    cond = _conditioning(args, pipe, args.train_batch_size)
+    data = _data_iter(args)
+
+    shared = dict(
+        output_dir=args.output_dir,
+        max_train_steps=args.max_train_steps,
+        train_batch_size=args.train_batch_size,
+        learning_rate=args.learning_rate,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        resolution=args.resolution,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        seed=args.seed,
+        sanity_check=args.sanity_check,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+    )
+
+    if args.stage == "stage1":
+        from instantir_tpu.train.stage1_adapter import Stage1Config, Stage1Trainer
+
+        cfg = Stage1Config(image_drop_rate=args.image_drop_rate, importance_sampling=args.importance_sampling, **shared)
+        trainer = Stage1Trainer(
+            pipe.unet, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
+        )
+        trainer.run(data, cond)
+        trainer.export_adapter(os.path.join(args.output_dir, "adapter_ckpt.pt"))
+    elif args.stage == "previewer":
+        from instantir_tpu.train.previewer_lora import PreviewerConfig, PreviewerTrainer
+
+        cfg = PreviewerConfig(
+            num_ddim_timesteps=args.num_ddim_timesteps, w_min=args.w_min, w_max=args.w_max,
+            image_drop_rate=args.image_drop_rate, **shared,
+        )
+        trainer = PreviewerTrainer(
+            pipe.unet, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
+        )
+        trainer.run(data, cond)
+        trainer.export_lora(os.path.join(args.output_dir, "previewer_lora_weights.bin"))
+    else:
+        from instantir_tpu.train.stage2_aggregator import Stage2Config, Stage2Trainer
+
+        cfg = Stage2Config(
+            image_drop_rate=args.image_drop_rate, text_drop_rate=args.text_drop_rate,
+            cond_drop_rate=args.cond_drop_rate, cfg_scale=args.CFG_scale,
+            use_ema_adapter=args.use_ema_adapter, optimize_adapter=args.optimize_adapter,
+            importance_sampling=args.importance_sampling, **shared,
+        )
+        trainer = Stage2Trainer(
+            pipe.unet, pipe.aggregator, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
+        )
+        trainer.run(data, cond)
+        trainer.export_aggregator(os.path.join(args.output_dir, "aggregator.pt"))
+
+
+if __name__ == "__main__":
+    main()

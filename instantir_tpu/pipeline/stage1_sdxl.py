@@ -147,7 +147,8 @@ class Stage1SDXLPipeline:
         if key is None:
             key = jax.random.PRNGKey(0)
         b = prompt_embeds.shape[0]
-        lat_h, lat_w = height // 8, width // 8
+        vae_scale = 2 ** (len(self.vae.config.block_out_channels) - 1)
+        lat_h, lat_w = height // vae_scale, width // vae_scale
         key, k_init = jax.random.split(key)
         if latents is None:
             latents = jax.random.normal(k_init, (b, lat_h, lat_w, 4), jnp.float32)
