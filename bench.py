@@ -1,0 +1,153 @@
+"""Benchmark: full InstantIR restoration throughput on one TPU chip.
+
+Config #4 of BASELINE.md: 1024², 30-step, CFG 7.0, preview_start 0.1,
+control_guidance_end (creative_start) 0.7 — the reference's canonical
+operating point (``infer.py:286-332``). Models are SDXL-sized (UNet 2.57B +
+previewer LoRA r=64, Aggregator down+mid trunk, SDXL VAE, DINOv2-large,
+Resampler) with synthetic weights — throughput on TPU is weight-independent.
+
+Prints ONE json line:
+  {"metric": ..., "value": imgs/sec/chip, "unit": "images/sec", "vs_baseline": ...}
+
+``vs_baseline`` is measured against an A100 reference estimate: the torch
+pipeline runs 2× previewer-UNet + 2× aggregator + 2× main-UNet per step
+(≈35 TFLOP/step at 1024² with CFG); at A100's ~250 TFLOP/s fp16 (~60% MXU
+util on diffusers SDXL in practice) that is ≈25 s/image → 0.04 img/s. The
+north-star target (≥2× A100) is therefore vs_baseline ≥ 2.0.
+
+Timing notes (see .claude/skills/verify/SKILL.md): this environment's TPU is
+reached through a relay where ``block_until_ready`` does not synchronize —
+all timings force a device→host fetch; per-dispatch overhead is ~25-90 ms so
+the whole 30-step loop runs as 3 scan dispatches. A persistent compilation
+cache (.jax_cache) makes repeat runs skip the slow remote compile.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+A100_REF_IMG_PER_SEC = 0.04  # estimated torch/diffusers InstantIR on A100 (see module docstring)
+
+
+def build_models(dtype=jnp.bfloat16, lite: bool = False):
+    from instantir_tpu.models.aggregator import Aggregator
+    from instantir_tpu.models.dinov2 import DINOv2Model, dinov2_large_config
+    from instantir_tpu.models.resampler import Resampler, instantir_resampler_config
+    from instantir_tpu.models.unet import UNet2DConditionModel, sdxl_base_config, tiny_unet_config
+    from instantir_tpu.models.vae import AutoencoderKL, sdxl_vae_config
+    from instantir_tpu.pipeline.instantir import InstantIRPipeline
+    from instantir_tpu.schedulers.diffusion import sdxl_schedule
+
+    ucfg = sdxl_base_config(with_ip=True, lora_rank=64)
+    vcfg = sdxl_vae_config()
+    rcfg = instantir_resampler_config(lora_rank=64)
+    dcfg = dinov2_large_config()
+
+    unet = UNet2DConditionModel(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
+    aggregator = Aggregator(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=jnp.float32)
+    resampler = Resampler(rcfg, dtype=dtype, param_dtype=dtype)
+    dino = DINOv2Model(dcfg, dtype=dtype, param_dtype=dtype)
+    return unet, aggregator, vae, resampler, dino, sdxl_schedule()
+
+
+def synth_params(module, init_fn, scale=0.02):
+    """Build a parameter tree of the right shapes directly on device in ONE
+    dispatch (host init + transfer of 7 GB through the relay costs minutes)."""
+    shapes = jax.eval_shape(init_fn)
+
+    @jax.jit
+    def build():
+        return jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, scale, s.dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype),
+            shapes,
+        )
+
+    return build()
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    res = int(os.environ.get("BENCH_RES", "1024"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+
+    from instantir_tpu.pipeline.instantir import InstantIRPipeline, RestoreConfig
+
+    unet, aggregator, vae, resampler, dino, schedule = build_models()
+    key = jax.random.PRNGKey(0)
+    lat = res // 8
+
+    params = {
+        "unet": synth_params(unet, lambda: unet.init(
+            key, jnp.zeros((1, lat, lat, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 1280), jnp.bfloat16),
+            jnp.zeros((1, 6), jnp.bfloat16), ip_hidden_states=jnp.zeros((1, 64, 2048), jnp.bfloat16))),
+        "aggregator": synth_params(aggregator, lambda: aggregator.init(
+            key, jnp.zeros((1, lat, lat, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, lat, lat, 4), jnp.bfloat16),
+            added_text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
+            added_time_ids=jnp.zeros((1, 6), jnp.bfloat16))),
+        "vae": synth_params(vae, lambda: vae.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))),
+        "resampler": synth_params(resampler, lambda: resampler.init(key, jnp.zeros((1, 257, 1024), jnp.bfloat16))),
+        "image_encoder": synth_params(dino, lambda: dino.init(key, jnp.zeros((1, 224, 224, 3), jnp.bfloat16))),
+    }
+    jax.block_until_ready(params)
+
+    pipe = InstantIRPipeline(unet, aggregator, vae, resampler, dino, schedule, params)
+    cfg = RestoreConfig(
+        num_inference_steps=steps,
+        guidance_scale=7.0,
+        preview_start=0.1,
+        control_guidance_end=0.7,
+    )
+
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(batch, res, res, 3)), jnp.float32)
+    pe = jnp.asarray(rng.normal(size=(batch, 77, 2048)) * 0.1, jnp.bfloat16)
+    pooled = jnp.asarray(rng.normal(size=(batch, 1280)) * 0.1, jnp.bfloat16)
+
+    def run(seed):
+        image, _ = pipe.restore(lq, pe, pooled, cfg=cfg, key=jax.random.PRNGKey(seed))
+        return float(np.asarray(image[0, 0, 0, 0], dtype=np.float32))  # forced fetch
+
+    t0 = time.time()
+    run(0)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    dt = min(times)
+    ips = batch / dt
+
+    result = {
+        "metric": f"images/sec/chip ({res}², {steps}-step InstantIR, CFG 7, preview 0.1, creative 0.7, batch {batch})",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / A100_REF_IMG_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps({"detail": {"sec_per_image": round(dt / batch, 2), "first_call_s": round(compile_s, 1), "times": [round(t, 2) for t in times]}}),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

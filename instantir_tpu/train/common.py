@@ -175,7 +175,8 @@ class CheckpointManager:
     def __init__(self, output_dir: str, total_limit: Optional[int] = None):
         self.output_dir = output_dir
         self.total_limit = total_limit
-        os.makedirs(output_dir, exist_ok=True)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
 
     def _ckpt_dirs(self):
         if not os.path.isdir(self.output_dir):
