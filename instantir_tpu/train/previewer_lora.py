@@ -68,6 +68,7 @@ class PreviewerConfig:
     logging_steps: int = 10
     seed: int = 42
     sanity_check: bool = False
+    validation_steps: int = 0  # 0 disables
     resume_from_checkpoint: Optional[str] = "latest"
 
 
@@ -200,7 +201,7 @@ class PreviewerTrainer:
             if losses_config and losses_config.lcm_losses
             else [SingleLossConfig(name="HuberLoss", init_params={"huber_c": 0.001})]
         )
-        self.unet = unet
+        self.unet, self.resampler, self.vae, self.image_encoder = unet, resampler, vae, image_encoder
         self.trainable, self.frozen = common.partition_params(params, lora_trainable_pred)
         if not self.trainable:
             raise ValueError("no LoRA params found — build the UNet/Resampler with lora_rank > 0")
@@ -240,7 +241,7 @@ class PreviewerTrainer:
         self.global_step += 1
         return metrics
 
-    def run(self, data_iter, cond):
+    def run(self, data_iter, cond, val_batch=None):
         cfg = self.cfg
         self.resume()
         key = jax.random.PRNGKey(cfg.seed)
@@ -259,6 +260,14 @@ class PreviewerTrainer:
                     self.global_step,
                     {**{k: float(v) for k, v in metrics.items()}, "steps_per_sec": cfg.logging_steps / dt},
                 )
+            if (
+                val_batch is not None
+                and self.cfg.validation_steps > 0
+                and self.global_step % self.cfg.validation_steps == 0
+            ):
+                from instantir_tpu.train.validation import validate_previewer
+
+                validate_previewer(self, val_batch['lq'], val_batch['gt'], cond, self.tracker, self.global_step)
             if self.global_step % cfg.checkpointing_steps == 0:
                 self.save_checkpoint()
         self.save_checkpoint()

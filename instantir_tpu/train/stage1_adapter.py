@@ -54,6 +54,7 @@ class Stage1Config:
     logging_steps: int = 10
     seed: int = 42
     sanity_check: bool = False
+    validation_steps: int = 0  # 0 disables
     resume_from_checkpoint: Optional[str] = "latest"
 
 
@@ -218,6 +219,14 @@ class Stage1Trainer:
                     self.global_step,
                     {**{k: float(v) for k, v in metrics.items()}, "steps_per_sec": cfg.logging_steps / dt},
                 )
+            if (
+                val_batch is not None
+                and self.cfg.validation_steps > 0
+                and self.global_step % self.cfg.validation_steps == 0
+            ):
+                from instantir_tpu.train.validation import validate_stage1
+
+                validate_stage1(self, val_batch['lq'], val_batch['gt'], cond, self.tracker, self.global_step)
             if self.global_step % cfg.checkpointing_steps == 0:
                 self.save_checkpoint()
         self.save_checkpoint()

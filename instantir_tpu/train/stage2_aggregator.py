@@ -64,6 +64,7 @@ class Stage2Config:
     logging_steps: int = 10
     seed: int = 42
     sanity_check: bool = False
+    validation_steps: int = 0  # 0 disables
     resume_from_checkpoint: Optional[str] = "latest"
 
 
@@ -227,7 +228,8 @@ class Stage2Trainer:
         losses = build_losses(
             losses_config.diffusion_losses if losses_config else [SingleLossConfig(name="L2Loss")]
         )
-        self.aggregator = aggregator
+        self.unet, self.aggregator, self.resampler = unet, aggregator, resampler
+        self.vae, self.image_encoder = vae, image_encoder
         self.trainable, self.frozen = common.partition_params(params, stage2_trainable_pred(cfg))
         # EMA copy of the adapter subtree (resampler + ip attn params)
         self.ema_adapter = None
@@ -282,7 +284,7 @@ class Stage2Trainer:
             self.ema_adapter = common.ema_update(self.ema_adapter, self._live_adapter(), self.cfg.ema_decay)
         return metrics
 
-    def run(self, data_iter, cond):
+    def run(self, data_iter, cond, val_batch=None):
         cfg = self.cfg
         self.resume()
         key = jax.random.PRNGKey(cfg.seed)
@@ -301,6 +303,14 @@ class Stage2Trainer:
                     self.global_step,
                     {**{k: float(v) for k, v in metrics.items()}, "steps_per_sec": cfg.logging_steps / dt},
                 )
+            if (
+                val_batch is not None
+                and self.cfg.validation_steps > 0
+                and self.global_step % self.cfg.validation_steps == 0
+            ):
+                from instantir_tpu.train.validation import validate_stage2
+
+                validate_stage2(self, val_batch['lq'], val_batch['gt'], cond, self.tracker, self.global_step)
             if self.global_step % cfg.checkpointing_steps == 0:
                 self.save_checkpoint()
         self.save_checkpoint()
