@@ -62,24 +62,99 @@ def build_models(dtype=jnp.bfloat16, lite: bool = False):
     return unet, aggregator, vae, resampler, dino, sdxl_schedule()
 
 
-def synth_params(module, init_fn, scale=0.02):
+def synth_params(module, init_fn):
     """Build a parameter tree of the right shapes directly on device in ONE
-    dispatch (host init + transfer of 7 GB through the relay costs minutes)."""
+    dispatch (host init + transfer of 7 GB through the relay costs minutes).
+
+    Constants are magnitude-stable — kernels at 1/√fan_in, norm scales at 1,
+    biases at 0 — so activations stay finite through the 30-step loop (a flat
+    0.02 everywhere compounds ~25× per matmul and overflows bf16)."""
     shapes = jax.eval_shape(init_fn)
+
+    def leaf_value(path, s):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
+        if not jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.zeros(s.shape, s.dtype)
+        if name == "scale":
+            return jnp.ones(s.shape, s.dtype)
+        if name == "bias":
+            return jnp.zeros(s.shape, s.dtype)
+        if len(s.shape) >= 2:
+            fan_in = int(np.prod(s.shape[:-1]))
+            return jnp.full(s.shape, 1.0 / np.sqrt(fan_in), s.dtype)
+        return jnp.full(s.shape, 0.01, s.dtype)
 
     @jax.jit
     def build():
-        return jax.tree_util.tree_map(
-            lambda s: jnp.full(s.shape, scale, s.dtype)
-            if jnp.issubdtype(s.dtype, jnp.floating)
-            else jnp.zeros(s.shape, s.dtype),
-            shapes,
-        )
+        return jax.tree_util.tree_map_with_path(leaf_value, shapes)
 
     return build()
 
 
+def bench_degradation_vae(res=512):
+    """BASELINE config #1: degradation + VAE encode/decode roundtrip."""
+    from instantir_tpu.data.degradation import RealESRGANDegradation
+    from instantir_tpu.models.vae import AutoencoderKL, sdxl_vae_config, scale_latents, unscale_latents
+
+    vcfg = sdxl_vae_config()
+    vae = AutoencoderKL(vcfg, dtype=jnp.float32)
+    vparams = synth_params(vae, lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    deg = RealESRGANDegradation(resolution=res)
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(size=(1, res * 4, res * 4, 3)), jnp.float32)
+    kernels = deg.sample_kernels(rng, 1)
+
+    def run(seed):
+        lq, _ = deg(jax.random.PRNGKey(seed), gt, kernels=kernels, host_rng=np.random.default_rng(seed))
+        z = scale_latents(vcfg, vae.apply(vparams, lq, rng=jax.random.PRNGKey(0), sample=True, method=vae.encode))
+        img = vae.apply(vparams, unscale_latents(vcfg, z), method=vae.decode)
+        return float(np.asarray(img[0, 0, 0, 0]))
+
+    run(0)
+    t0 = time.time()
+    run(1)
+    dt = time.time() - t0
+    return {"metric": f"degradation+VAE roundtrip {res}²", "value": round(1 / dt, 3), "unit": "iters/sec",
+            "vs_baseline": 0.0}
+
+
+def bench_encoder(res=512):
+    """BASELINE config #2: DINOv2-large + Resampler projection, batch 1."""
+    from instantir_tpu.models.dinov2 import DINOv2Model, dinov2_large_config, preprocess_dinov2
+    from instantir_tpu.models.resampler import Resampler, instantir_resampler_config
+
+    dino = DINOv2Model(dinov2_large_config(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    res_m = Resampler(instantir_resampler_config(lora_rank=64), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    dparams = synth_params(dino, lambda: dino.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16)))
+    rparams = synth_params(res_m, lambda: res_m.init(jax.random.PRNGKey(0), jnp.zeros((1, 257, 1024), jnp.bfloat16)))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(1, res, res, 3)), jnp.float32)
+
+    @jax.jit
+    def encode(dp, rp, img):
+        tokens = dino.apply(dp, preprocess_dinov2(img).astype(jnp.bfloat16))
+        return res_m.apply(rp, tokens)
+
+    def run():
+        return float(np.asarray(encode(dparams, rparams, img)[0, 0, 0], np.float32))
+
+    run()
+    t0 = time.time()
+    run()
+    dt = time.time() - t0
+    return {"metric": f"DINOv2+Resampler batch-1 {res}²", "value": round(1 / dt, 2), "unit": "iters/sec",
+            "vs_baseline": 0.0}
+
+
 def main():
+    config = os.environ.get("BENCH_CONFIG", "full")
+    if config == "degradation_vae":
+        print(json.dumps(bench_degradation_vae()))
+        return
+    if config == "encoder":
+        print(json.dumps(bench_encoder()))
+        return
+
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     res = int(os.environ.get("BENCH_RES", "1024"))

@@ -1,0 +1,82 @@
+"""Adaptive restoration (adastep), guidance rescale, and sharded batch inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantir_tpu.models.dinov2 import tiny_dinov2_config
+from instantir_tpu.models.resampler import tiny_resampler_config
+from instantir_tpu.models.unet import tiny_unet_config
+from instantir_tpu.models.vae import tiny_vae_config
+from instantir_tpu.parallel import data_parallel_sharding, make_mesh, replicate_params
+from instantir_tpu.pipeline import RestoreConfig
+from instantir_tpu.pipeline.factory import build_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    ucfg = tiny_unet_config(with_ip=True, lora_rank=4)
+    rcfg = tiny_resampler_config(output_dim=ucfg.cross_attention_dim, lora_rank=2)
+    return build_pipeline(
+        ucfg, tiny_vae_config(), rcfg, tiny_dinov2_config(), jax.random.PRNGKey(0), image_size=32
+    )
+
+
+def _inputs(pipe, rng, b=1):
+    cross = pipe.unet.config.cross_attention_dim
+    pooled_dim = pipe.unet.config.projection_class_embeddings_input_dim - pipe.unet.config.addition_time_embed_dim * 6
+    return (
+        jnp.asarray(rng.uniform(-1, 1, size=(b, 32, 32, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, 7, cross)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, pooled_dim)), jnp.float32),
+    )
+
+
+def test_adastep_restore_runs(pipe, rng):
+    # zero-conv heads output exact zeros at init, which would make the
+    # aggregator path (and thus adastep) a no-op — bump them first.
+    def bump(path, x):
+        if any("zero_conv" in str(p) for p in path):
+            return x + 0.05
+        return x
+
+    pipe.params = dict(pipe.params)
+    pipe.params["aggregator"] = jax.tree_util.tree_map_with_path(bump, pipe.params["aggregator"])
+    lq, pe, pp = _inputs(pipe, rng)
+    cfg = RestoreConfig(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25, adastep_restore=True)
+    lat, _ = pipe.restore(lq, pe, pp, cfg=cfg, output_type="latent")
+    assert np.isfinite(np.asarray(lat)).all()
+    # adaptive factors change the trajectory vs non-adaptive
+    cfg2 = RestoreConfig(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25, adastep_restore=False)
+    lat2, _ = pipe.restore(lq, pe, pp, cfg=cfg2, output_type="latent", key=jax.random.PRNGKey(0))
+    lat1, _ = pipe.restore(lq, pe, pp, cfg=cfg, output_type="latent", key=jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(lat1) - np.asarray(lat2)).max() > 1e-7
+
+
+def test_guidance_rescale(pipe, rng):
+    lq, pe, pp = _inputs(pipe, rng)
+    cfg = RestoreConfig(num_inference_steps=2, guidance_scale=7.0, guidance_rescale=0.7)
+    lat, _ = pipe.restore(lq, pe, pp, cfg=cfg, output_type="latent", key=jax.random.PRNGKey(0))
+    cfg0 = RestoreConfig(num_inference_steps=2, guidance_scale=7.0, guidance_rescale=0.0)
+    lat0, _ = pipe.restore(lq, pe, pp, cfg=cfg0, output_type="latent", key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(lat)).all()
+    assert np.abs(np.asarray(lat) - np.asarray(lat0)).max() > 1e-7
+
+
+def test_sharded_batch_restore(pipe, rng):
+    """BASELINE config #5 shape: batched restoration sharded over the mesh."""
+    mesh = make_mesh()
+    b = 8
+    lq, pe, pp = _inputs(pipe, rng, b=b)
+    sharding = data_parallel_sharding(mesh)
+    pipe.params = replicate_params(pipe.params, mesh)
+    lq = jax.device_put(lq, sharding)
+    pe = jax.device_put(pe, sharding)
+    pp = jax.device_put(pp, sharding)
+    cfg = RestoreConfig(num_inference_steps=2, guidance_scale=7.0, preview_start=0.0)
+    lat, _ = pipe.restore(lq, pe, pp, cfg=cfg, output_type="latent", key=jax.random.PRNGKey(0))
+    assert lat.shape == (b, 16, 16, 4)
+    assert np.isfinite(np.asarray(lat)).all()
+    # result still spans all 8 devices (no gather to one chip mid-loop)
+    assert len(lat.sharding.device_set) == 8
