@@ -205,7 +205,7 @@ class InstantIRPipeline:
                 pred = rescale_noise_cfg(pred, text, cfg.guidance_rescale)
             return pred
 
-        def make_body(mode: str, params, cond, image_latent, ip_base, ip_lora):
+        def make_body(mode: str, params, cond, image_latent, ip_base, ip_lora, reference_latents=None):
             def body(carry, step_in):
                 latents, key, preview_factor, prev_preview, prev_unet = carry
                 t, prev_t = step_in["t"], step_in["prev_t"]
@@ -231,6 +231,8 @@ class InstantIRPipeline:
                 if mode == "B":
                     preview_noise = unet_apply(params, latent_in, tb, cond, cfg.lora_alpha, ip_lora)
                     preview_latent = lcm_single_step(schedule, preview_noise, tb, latent_in)
+                elif reference_latents is not None:
+                    preview_latent = reference_latents  # caller-supplied (reference :1579-1580)
                 else:
                     preview_latent = image_latent  # LQ latent (reference :1582)
 
@@ -276,7 +278,7 @@ class InstantIRPipeline:
 
             return body
 
-        def sample(params, latents, cond, image_latent, ip_base, ip_lora, key):
+        def sample(params, latents, cond, image_latent, ip_base, ip_lora, key, reference_latents=None):
             bsz = latents.shape[0]
             preview_factor = jnp.ones((bsz, 1, 1, 1), jnp.float32)
             prev_preview = jnp.zeros(latents.shape, jnp.float32)
@@ -284,7 +286,7 @@ class InstantIRPipeline:
             carry = (latents, key, preview_factor, prev_preview, prev_unet)
             previews = []
             for phase in phases:
-                body = make_body(phase["mode"], params, cond, image_latent, ip_base, ip_lora)
+                body = make_body(phase["mode"], params, cond, image_latent, ip_base, ip_lora, reference_latents)
                 steps = {
                     "t": jnp.asarray(phase["t"], jnp.int32),
                     "prev_t": jnp.asarray(phase["prev_t"], jnp.int32),
@@ -356,8 +358,11 @@ class InstantIRPipeline:
 
         # 5. the loop
         cond_image_latent = jnp.concatenate([image_latent] * 2, axis=0) if cfg.do_cfg else image_latent
+        if reference_latents is not None and cfg.do_cfg:
+            reference_latents = jnp.concatenate([reference_latents] * 2, axis=0)
         latents, preview_row = self.sample_fn(cfg)(
-            params, latents, cond, cond_image_latent, ip_base, ip_lora, key
+            params, latents, cond, cond_image_latent, ip_base, ip_lora, key,
+            reference_latents=reference_latents,
         )
 
         if output_type == "latent":
