@@ -80,6 +80,14 @@ class Aggregator(nn.Module):
         conditioning_scale: float = 1.0,
     ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
         cfg = self.config
+        if cfg.lora_rank:
+            # the Aggregator never carries LoRA (only the previewer UNet does,
+            # reference prepare_previewers targets the UNet alone) — drop it
+            # even when sharing the UNet's config, saving ~0.7 GB HBM at SDXL
+            # scale.
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, lora_rank=0)
         b = sample.shape[0]
         timesteps = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timesteps)), (b,))
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)

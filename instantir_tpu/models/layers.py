@@ -23,6 +23,13 @@ Dtype = Any
 default_kernel_init = nn.initializers.lecun_normal()
 
 
+def _static_zero(lora_scale) -> bool:
+    """True when lora_scale is a Python/static 0 — the LoRA branch can then
+    be skipped entirely at trace time (the previewer-off UNet pass would
+    otherwise pay ~10% extra FLOPs multiplying by zero)."""
+    return isinstance(lora_scale, (int, float)) and lora_scale == 0.0
+
+
 class LoRADense(nn.Module):
     """Dense with an optional low-rank adapter branch (PEFT semantics)."""
 
@@ -52,7 +59,7 @@ class LoRADense(nn.Module):
                 param_dtype=self.param_dtype,
                 kernel_init=nn.initializers.he_uniform(),
                 name="lora_a",
-            )(x)
+            )
             b = nn.Dense(
                 self.features,
                 use_bias=False,
@@ -60,8 +67,11 @@ class LoRADense(nn.Module):
                 param_dtype=self.param_dtype,
                 kernel_init=nn.initializers.zeros_init(),
                 name="lora_b",
-            )(a)
-            y = y + jnp.asarray(lora_scale, y.dtype) * (self.lora_alpha / self.lora_rank) * b
+            )
+            if not _static_zero(lora_scale):
+                y = y + jnp.asarray(lora_scale, y.dtype) * (self.lora_alpha / self.lora_rank) * b(a(x))
+            elif self.is_initializing():
+                b(a(x))  # materialize params during init
         return y
 
 
@@ -106,7 +116,7 @@ class LoRAConv(nn.Module):
                 param_dtype=self.param_dtype,
                 kernel_init=nn.initializers.he_uniform(),
                 name="lora_a",
-            )(x)
+            )
             b = nn.Conv(
                 self.features,
                 (1, 1),
@@ -115,8 +125,11 @@ class LoRAConv(nn.Module):
                 param_dtype=self.param_dtype,
                 kernel_init=nn.initializers.zeros_init(),
                 name="lora_b",
-            )(a)
-            y = y + jnp.asarray(lora_scale, y.dtype) * (self.lora_alpha / self.lora_rank) * b
+            )
+            if not _static_zero(lora_scale):
+                y = y + jnp.asarray(lora_scale, y.dtype) * (self.lora_alpha / self.lora_rank) * b(a(x))
+            elif self.is_initializing():
+                b(a(x))  # materialize params during init
         return y
 
 

@@ -145,10 +145,19 @@ class InstantIRPipeline:
     # ------------------------------------------------------------------
 
     def encode_image_embeds(self, params, lq_images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """DINOv2 tokens for (cond, uncond=zero image) — reference ``:635-669``."""
+        """DINOv2 tokens for (cond, uncond=zero image) — reference ``:635-669``.
+
+        The uncond tokens depend only on the parameters (the zero image is a
+        constant), so they are computed once and cached across calls."""
         pixels = preprocess_dinov2(lq_images)
         cond = self.image_encoder.apply(params["image_encoder"], pixels)
-        uncond = self.image_encoder.apply(params["image_encoder"], jnp.zeros_like(pixels))
+        cache_key = (id(params["image_encoder"]), pixels.shape, str(pixels.dtype))
+        if getattr(self, "_uncond_cache_key", None) != cache_key:
+            self._uncond_tokens = self.image_encoder.apply(
+                params["image_encoder"], jnp.zeros((1,) + pixels.shape[1:], pixels.dtype)
+            )
+            self._uncond_cache_key = cache_key
+        uncond = jnp.broadcast_to(self._uncond_tokens, cond.shape)
         return cond, uncond
 
     def project_ip_tokens(self, params, dino_tokens: jnp.ndarray, lora_scale=0.0) -> jnp.ndarray:
@@ -161,10 +170,17 @@ class InstantIRPipeline:
         z = self.vae.apply(params["vae"], images, rng=rng, sample=True, method=self.vae.encode)
         return scale_latents(self.vae.config, z)
 
-    def decode_latents(self, params, latents: jnp.ndarray) -> jnp.ndarray:
-        """Model-space latents → images in [-1,1]; fp32 decode (force_upcast)."""
-        z = unscale_latents(self.vae.config, latents.astype(jnp.float32))
-        return self.vae.apply(params["vae"], z, method=self.vae.decode)
+    def decode_latents(self, params, latents: jnp.ndarray, dtype=None) -> jnp.ndarray:
+        """Model-space latents → images in [-1,1].
+
+        Default fp32 decode (the reference's force_upcast — its fp16 VAE
+        overflows). ``dtype=jnp.bfloat16`` is a fast path that is range-safe
+        (bf16 has fp32's exponent) at somewhat lower mantissa precision."""
+        vae = self.vae
+        if dtype is not None and dtype != vae.dtype:
+            vae = AutoencoderKL(self.vae.config, dtype=dtype)
+        z = unscale_latents(self.vae.config, latents.astype(dtype or jnp.float32))
+        return vae.apply(params["vae"], z, method=vae.decode)
 
     # ------------------------------------------------------------------
     # The denoise loop
