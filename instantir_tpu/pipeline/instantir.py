@@ -240,7 +240,7 @@ class InstantIRPipeline:
                         latents,
                         jax.random.normal(sub, latents.shape, jnp.float32),
                     )
-                    preview_out = jnp.zeros_like(latents)
+                    preview_out = jnp.zeros_like(latents) if cfg.save_preview_row else ()
                     return (latents, key, preview_factor, prev_preview, prev_unet), preview_out
 
                 # A/B: controlnet active
@@ -289,7 +289,10 @@ class InstantIRPipeline:
                     prev_preview = preview_text.astype(jnp.float32)
                     prev_unet = pred_x0.astype(jnp.float32)
 
-                preview_out = preview_text if mode == "B" else jnp.zeros_like(latents)
+                if cfg.save_preview_row:
+                    preview_out = preview_text if mode == "B" else jnp.zeros_like(latents)
+                else:
+                    preview_out = ()
                 return (new_latents, key, preview_factor, prev_preview, prev_unet), preview_out
 
             return body
