@@ -139,6 +139,20 @@ class InstantIRPipeline:
         self.schedule = schedule
         self.params = params
         self._sample_fn_cache: Dict[Any, Any] = {}
+        # Every device-side stage is jitted: an eager encoder pass costs
+        # hundreds of per-op dispatches (~4-6 s through this environment's
+        # TPU relay vs ~30 ms compiled).
+        self._jit_vae_encode = jax.jit(
+            lambda p, img, rng: scale_latents(
+                self.vae.config, self.vae.apply(p["vae"], img, rng=rng, sample=True, method=self.vae.encode)
+            )
+        )
+        self._jit_dino = jax.jit(lambda p, px: self.image_encoder.apply(p["image_encoder"], px))
+        self._jit_resampler = jax.jit(
+            lambda p, tokens, lora_scale: self.resampler.apply(p["resampler"], tokens, lora_scale=lora_scale),
+            static_argnums=2,
+        )
+        self._jit_decode_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # Encoders (run once per call, outside the denoise loop)
@@ -150,12 +164,10 @@ class InstantIRPipeline:
         The uncond tokens depend only on the parameters (the zero image is a
         constant), so they are computed once and cached across calls."""
         pixels = preprocess_dinov2(lq_images)
-        cond = self.image_encoder.apply(params["image_encoder"], pixels)
-        cache_key = (id(params["image_encoder"]), pixels.shape, str(pixels.dtype))
+        cond = self._jit_dino(params, pixels)
+        cache_key = (id(params["image_encoder"]), pixels.shape[1:], str(pixels.dtype))
         if getattr(self, "_uncond_cache_key", None) != cache_key:
-            self._uncond_tokens = self.image_encoder.apply(
-                params["image_encoder"], jnp.zeros((1,) + pixels.shape[1:], pixels.dtype)
-            )
+            self._uncond_tokens = self._jit_dino(params, jnp.zeros((1,) + pixels.shape[1:], pixels.dtype))
             self._uncond_cache_key = cache_key
         uncond = jnp.broadcast_to(self._uncond_tokens, cond.shape)
         return cond, uncond
@@ -163,12 +175,11 @@ class InstantIRPipeline:
     def project_ip_tokens(self, params, dino_tokens: jnp.ndarray, lora_scale=0.0) -> jnp.ndarray:
         """Resampler projection. The previewer LoRA also lives in the
         resampler, so previewer and main UNet see different ip tokens."""
-        return self.resampler.apply(params["resampler"], dino_tokens, lora_scale=lora_scale)
+        return self._jit_resampler(params, dino_tokens, float(lora_scale))
 
     def encode_vae_image(self, params, images: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         """[-1,1] images → scaled latents (sampled posterior)."""
-        z = self.vae.apply(params["vae"], images, rng=rng, sample=True, method=self.vae.encode)
-        return scale_latents(self.vae.config, z)
+        return self._jit_vae_encode(params, images, rng)
 
     def decode_latents(self, params, latents: jnp.ndarray, dtype=None) -> jnp.ndarray:
         """Model-space latents → images in [-1,1].
@@ -176,11 +187,18 @@ class InstantIRPipeline:
         Default fp32 decode (the reference's force_upcast — its fp16 VAE
         overflows). ``dtype=jnp.bfloat16`` is a fast path that is range-safe
         (bf16 has fp32's exponent) at somewhat lower mantissa precision."""
-        vae = self.vae
-        if dtype is not None and dtype != vae.dtype:
-            vae = AutoencoderKL(self.vae.config, dtype=dtype)
-        z = unscale_latents(self.vae.config, latents.astype(dtype or jnp.float32))
-        return vae.apply(params["vae"], z, method=vae.decode)
+        key = str(dtype)
+        if key not in self._jit_decode_cache:
+            vae = self.vae
+            if dtype is not None and dtype != vae.dtype:
+                vae = AutoencoderKL(self.vae.config, dtype=dtype)
+
+            def _decode(p, z):
+                z = unscale_latents(vae.config, z.astype(dtype or jnp.float32))
+                return vae.apply(p["vae"], z, method=vae.decode)
+
+            self._jit_decode_cache[key] = jax.jit(_decode)
+        return self._jit_decode_cache[key](params, latents)
 
     # ------------------------------------------------------------------
     # The denoise loop
@@ -372,8 +390,13 @@ class InstantIRPipeline:
             cfg.num_inference_steps, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset
         )
         t0 = jnp.full((b,), int(timesteps[0]), jnp.int32)
-        noise = jax.random.normal(k_init, image_latent.shape, jnp.float32)
-        latents = add_noise(self.schedule, image_latent, noise, t0)
+        if not hasattr(self, "_jit_init_latents"):
+            self._jit_init_latents = jax.jit(
+                lambda lat, key, t: add_noise(
+                    self.schedule, lat, jax.random.normal(key, lat.shape, jnp.float32), t
+                )
+            )
+        latents = self._jit_init_latents(image_latent, k_init, t0)
 
         # 5. the loop
         cond_image_latent = jnp.concatenate([image_latent] * 2, axis=0) if cfg.do_cfg else image_latent
