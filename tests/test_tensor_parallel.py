@@ -1,0 +1,39 @@
+"""Tensor-parallel sharding: parity with replicated execution on a 4×2 mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantir_tpu.models.unet import UNet2DConditionModel, tiny_unet_config
+from instantir_tpu.parallel import make_mesh, shard_batch
+from instantir_tpu.parallel.tp import tp_shard_params
+
+
+def test_tp_sharded_unet_matches_replicated(rng):
+    mesh = make_mesh(model_parallel=2)  # 4 data × 2 model over 8 CPU devices
+    cfg = tiny_unet_config(with_ip=True)
+    unet = UNet2DConditionModel(cfg, use_flash=False)
+    b = 4
+    inputs = dict(
+        sample=jnp.asarray(rng.normal(size=(b, 16, 16, 4)), jnp.float32),
+        timesteps=jnp.zeros((b,), jnp.int32),
+        encoder_hidden_states=jnp.asarray(rng.normal(size=(b, 7, 32)), jnp.float32),
+        added_text_embeds=jnp.asarray(rng.normal(size=(b, 16)), jnp.float32),
+        added_time_ids=jnp.zeros((b, 6), jnp.float32),
+        ip_hidden_states=jnp.asarray(rng.normal(size=(b, 4, 32)), jnp.float32),
+    )
+    params = unet.init(jax.random.PRNGKey(0), **inputs)
+    ref = unet.apply(params, **inputs)
+
+    tp_params = tp_shard_params(params, mesh)
+    # at least some kernels actually got split over 'model'
+    split = [
+        x for x in jax.tree_util.tree_leaves(tp_params)
+        if hasattr(x, "sharding") and "model" in str(x.sharding.spec)
+    ]
+    assert len(split) > 10
+
+    sharded_inputs = shard_batch(inputs, mesh)
+    out = jax.jit(lambda p, kw: unet.apply(p, **kw))(tp_params, sharded_inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
