@@ -66,10 +66,14 @@ def synth_params(module, init_fn):
     """Build a parameter tree of the right shapes directly on device in ONE
     dispatch (host init + transfer of 7 GB through the relay costs minutes).
 
-    Constants are magnitude-stable — kernels at 1/√fan_in, norm scales at 1,
-    biases at 0 — so activations stay finite through the 30-step loop (a flat
-    0.02 everywhere compounds ~25× per matmul and overflows bf16)."""
+    Weights must be *varied*, not constant: all-equal kernels make layer
+    outputs channel-constant, GroupNorm then amplifies bf16 rounding noise by
+    1/√eps (≈316×) per layer and the loop blows up to NaN. A cheap
+    deterministic sin-of-iota pattern (zero mean, lecun-scaled variance) is
+    generated per leaf on device — no per-leaf RNG program (which is huge to
+    compile) and no host transfer."""
     shapes = jax.eval_shape(init_fn)
+    phase_counter = [0]
 
     def leaf_value(path, s):
         name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
@@ -79,10 +83,17 @@ def synth_params(module, init_fn):
             return jnp.ones(s.shape, s.dtype)
         if name == "bias":
             return jnp.zeros(s.shape, s.dtype)
+        phase_counter[0] += 1
+        phase = float(phase_counter[0])
+        size = int(np.prod(s.shape))
         if len(s.shape) >= 2:
-            fan_in = int(np.prod(s.shape[:-1]))
-            return jnp.full(s.shape, 1.0 / np.sqrt(fan_in), s.dtype)
-        return jnp.full(s.shape, 0.01, s.dtype)
+            scale = 1.0 / np.sqrt(np.prod(s.shape[:-1]))
+        else:
+            scale = 0.01
+        flat = jnp.sin(
+            jax.lax.broadcasted_iota(jnp.float32, (size, 1), 0).squeeze(-1) * 0.7001 + phase
+        )
+        return (scale * flat).reshape(s.shape).astype(s.dtype)
 
     @jax.jit
     def build():
