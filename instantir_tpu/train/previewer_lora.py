@@ -57,6 +57,7 @@ class PreviewerConfig:
     lr_warmup_steps: int = 100
     weight_decay: float = 1e-2
     max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
     resolution: int = 512
     num_ddim_timesteps: int = 50
     w_min: float = 3.0
@@ -210,6 +211,12 @@ class PreviewerTrainer:
             weight_decay=cfg.weight_decay,
             max_grad_norm=cfg.max_grad_norm,
         )
+        if cfg.gradient_accumulation_steps > 1:
+            # accelerate-style accumulation (reference stage-2 runs ga=2):
+            # updates apply every k-th micro-step, zeros otherwise.
+            import optax as _optax
+
+            self.tx = _optax.MultiSteps(self.tx, every_k_schedule=cfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.trainable)
         raw = build_previewer_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
         self._step = jax.jit(lambda tr, fr, st, b, k: raw(tr, fr, st, self.tx, b, k))

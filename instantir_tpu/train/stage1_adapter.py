@@ -46,6 +46,7 @@ class Stage1Config:
     lr_warmup_steps: int = 100
     weight_decay: float = 1e-2
     max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
     resolution: int = 512
     image_drop_rate: float = 0.05
     importance_sampling: bool = False
@@ -165,6 +166,12 @@ class Stage1Trainer:
             weight_decay=cfg.weight_decay,
             max_grad_norm=cfg.max_grad_norm,
         )
+        if cfg.gradient_accumulation_steps > 1:
+            # accelerate-style accumulation (reference stage-2 runs ga=2):
+            # updates apply every k-th micro-step, zeros otherwise.
+            import optax as _optax
+
+            self.tx = _optax.MultiSteps(self.tx, every_k_schedule=cfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.trainable)
         raw_step = build_stage1_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
         self._step = jax.jit(lambda tr, fr, st, batch, key: raw_step(tr, fr, st, self.tx, batch, key))
