@@ -30,6 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, default="output")
     p.add_argument("--max_train_steps", type=int, default=10000)
     p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--lr_scheduler", type=str, default="cosine")
     p.add_argument("--lr_warmup_steps", type=int, default=100)
@@ -148,6 +149,7 @@ def main(argv=None):
         output_dir=args.output_dir,
         max_train_steps=args.max_train_steps,
         train_batch_size=args.train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         learning_rate=args.learning_rate,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
