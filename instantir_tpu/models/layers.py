@@ -133,23 +133,40 @@ class LoRAConv(nn.Module):
         return y
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder matching nn.GroupNorm's parameter layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32 regardless of compute dtype (HBM-friendly:
-    XLA fuses the cast/normalize/affine chain into neighbouring ops)."""
+    """GroupNorm with fp32 statistics (+ optionally fused SiLU).
+
+    On TPU this runs the Pallas fused kernel (one HBM read/write in the
+    compute dtype, fp32 stats in VMEM — ``ops/group_norm.py``); elsewhere a
+    jnp reference with identical semantics. Parameter layout matches
+    nn.GroupNorm (``norm/scale``, ``norm/bias``) so converted checkpoints are
+    unaffected."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="norm",
-        )(x.astype(jnp.float32))
+        from instantir_tpu.ops.group_norm import group_norm_silu
+
+        scale, bias = _GNParams(features=x.shape[-1], name="norm")()
+        y = group_norm_silu(
+            x, scale, bias, num_groups=self.num_groups, eps=self.epsilon, apply_silu=self.fuse_silu
+        )
         return y.astype(self.dtype)
 
 

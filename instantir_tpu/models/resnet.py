@@ -36,16 +36,14 @@ class ResnetBlock2D(nn.Module):
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=self.eps, dtype=self.dtype, fuse_silu=True, name="norm1")(x)
         h = LoRAConv(self.out_channels, (3, 3), padding=1, name="conv1", **lora, **common)(h, lora_scale)
 
         if temb is not None:
             t = LoRADense(self.out_channels, name="time_emb_proj", **lora, **common)(nn.silu(temb), lora_scale)
             h = h + t[:, None, None, :]
 
-        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=self.eps, dtype=self.dtype, fuse_silu=True, name="norm2")(h)
         h = LoRAConv(self.out_channels, (3, 3), padding=1, name="conv2", **lora, **common)(h, lora_scale)
 
         if in_channels != self.out_channels:

@@ -274,7 +274,6 @@ class UNet2DConditionModel(nn.Module):
                 )(sample, res, emb, lora_scale)
 
         # 6. out
-        sample = GroupNorm32(num_groups=cfg.norm_num_groups, dtype=self.dtype, name="conv_norm_out")(sample)
-        sample = nn.silu(sample)
+        sample = GroupNorm32(num_groups=cfg.norm_num_groups, dtype=self.dtype, fuse_silu=True, name="conv_norm_out")(sample)
         sample = LoRAConv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(sample)
         return sample

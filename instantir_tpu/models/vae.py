@@ -60,11 +60,9 @@ class VAEResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, fuse_silu=True, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", **common)(h)
-        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, fuse_silu=True, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", **common)(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut", **common)(x)
@@ -133,8 +131,7 @@ class Encoder(nn.Module):
                     ch, (3, 3), strides=(2, 2), padding="VALID", name=f"down_blocks_{i}_downsample", **common
                 )(x)
         x = VAEMidBlock(cfg.block_out_channels[-1], norm_num_groups=cfg.norm_num_groups, name="mid_block", **common)(x)
-        x = GroupNorm32(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm32(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, fuse_silu=True, name="conv_norm_out")(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, name="conv_out", **common)(x)
 
 
@@ -160,8 +157,7 @@ class Decoder(nn.Module):
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
                 x = nn.Conv(ch, (3, 3), padding=1, name=f"up_blocks_{i}_upsample", **common)(x)
-        x = GroupNorm32(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm32(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, fuse_silu=True, name="conv_norm_out")(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(x)
 
 
