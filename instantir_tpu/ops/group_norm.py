@@ -82,6 +82,25 @@ def group_norm_silu_pallas(
 _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_silu_diff(x, scale, bias, num_groups, eps, apply_silu):
+    return group_norm_silu_pallas(x, scale, bias, num_groups, eps, apply_silu)
+
+
+def _gn_silu_fwd(x, scale, bias, num_groups, eps, apply_silu):
+    return _gn_silu_diff(x, scale, bias, num_groups, eps, apply_silu), (x, scale, bias)
+
+
+def _gn_silu_bwd(num_groups, eps, apply_silu, res, g):
+    # backward through the (mathematically identical) reference implementation
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda *a: group_norm_silu_reference(*a, num_groups, eps, apply_silu), x, scale, bias)
+    return vjp(g)
+
+
+_gn_silu_diff.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
 def group_norm_silu(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -91,9 +110,10 @@ def group_norm_silu(
     apply_silu: bool = False,
 ) -> jnp.ndarray:
     """Dispatching fused GroupNorm(+SiLU): Pallas on TPU when a batch row fits
-    VMEM, jnp reference otherwise."""
+    VMEM (differentiable via a custom VJP that recomputes through the
+    reference math), jnp reference otherwise."""
     b, h, w, c = x.shape
     row_bytes = h * w * c * x.dtype.itemsize
     if jax.default_backend() == "tpu" and row_bytes <= _VMEM_BUDGET_BYTES and c % num_groups == 0:
-        return group_norm_silu_pallas(x, scale, bias, num_groups, eps, apply_silu)
+        return _gn_silu_diff(x, scale, bias, num_groups, eps, apply_silu)
     return group_norm_silu_reference(x, scale, bias, num_groups, eps, apply_silu)
