@@ -36,15 +36,20 @@ def group_norm_silu_reference(
     return y.astype(x.dtype)
 
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float, apply_silu: bool):
-    x = x_ref[0].astype(jnp.float32)  # [HW, C]
-    hw, c = x.shape
-    cpg = c // num_groups
-    xg = x.reshape(hw, num_groups, cpg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    y = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(hw, c) * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+_GN_CHUNK = 512  # rows per block: [512, 1280] bf16 = 1.25 MB, pipelines freely
+
+
+def _gn_stats_kernel(x_ref, s_ref, sq_ref):
+    """Partial per-chunk channel sums: [1, chunk, C] → two [1, 1, 1, C]."""
+    xc = x_ref[0].astype(jnp.float32)
+    s_ref[0, 0] = jnp.sum(xc, axis=0, keepdims=True)
+    sq_ref[0, 0] = jnp.sum(xc * xc, axis=0, keepdims=True)
+
+
+def _gn_norm_kernel(x_ref, w_ref, b_ref, o_ref, *, apply_silu: bool):
+    """Elementwise y = x·w + b (+SiLU) with per-batch-row affine [1, C]."""
+    xc = x_ref[0].astype(jnp.float32)
+    y = xc * w_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -60,26 +65,65 @@ def group_norm_silu_pallas(
     apply_silu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Two small-block kernels — chunked partial stats, then a fused
+    normalize(+SiLU) sweep — with the tiny [B, C] group math in XLA between
+    them. Blocks stay ~1-2 MB so Mosaic double-buffers them freely (a whole
+    batch row in VMEM overflows the 16 MB scoped budget at SDXL /16 sizes)."""
     b, h, w, c = x.shape
-    xf = x.reshape(b, h * w, c)
-    kernel = functools.partial(_gn_kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
+    hw = h * w
+    chunk = min(_GN_CHUNK, hw)
+    nchunks = hw // chunk
+    cpg = c // num_groups
+    xf = x.reshape(b, hw, c)
+
+    s, sq = pl.pallas_call(
+        _gn_stats_kernel,
+        grid=(b, nchunks),
+        in_specs=[pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nchunks, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nchunks, 1, c), jnp.float32),
+        ),
         interpret=interpret,
-    )(xf, scale, bias)
+    )(xf)
+
+    # cross-chunk + cross-group reduction on [B, C] — trivial for XLA
+    s = jnp.sum(s, axis=(1, 2))  # [B, C]
+    sq = jnp.sum(sq, axis=(1, 2))
+    n = float(hw * cpg)
+    sg = jnp.sum(s.reshape(b, num_groups, cpg), axis=-1)  # [B, G]
+    sqg = jnp.sum(sq.reshape(b, num_groups, cpg), axis=-1)
+    mean_g = sg / n
+    var_g = sqg / n - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cpg, axis=-1)  # [B, C]
+    rstd_c = jnp.repeat(rstd_g, cpg, axis=-1)
+    wv = (rstd_c * scale.astype(jnp.float32)[None, :]).reshape(b, 1, c)
+    bv = (bias.astype(jnp.float32)[None, :] - mean_c * rstd_c * scale.astype(jnp.float32)[None, :]).reshape(b, 1, c)
+
+    out = pl.pallas_call(
+        functools.partial(_gn_norm_kernel, apply_silu=apply_silu),
+        grid=(b, nchunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        interpret=interpret,
+    )(xf, wv, bv)
     return out.reshape(b, h, w, c)
 
 
-# one batch-row block must fit VMEM (with fp32 scratch headroom)
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# per-block VMEM budget is no longer the constraint; keep a sanity bound on
+# total size so degenerate giants (fp32 VAE at 1024²) use the XLA path where
+# fusion with the surrounding convs matters more
+_VMEM_BUDGET_BYTES = 512 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -114,6 +158,11 @@ def group_norm_silu(
     reference math), jnp reference otherwise."""
     b, h, w, c = x.shape
     row_bytes = h * w * c * x.dtype.itemsize
-    if jax.default_backend() == "tpu" and row_bytes <= _VMEM_BUDGET_BYTES and c % num_groups == 0:
+    if (
+        jax.default_backend() == "tpu"
+        and row_bytes <= _VMEM_BUDGET_BYTES
+        and c % num_groups == 0
+        and (h * w) % min(_GN_CHUNK, h * w) == 0
+    ):
         return _gn_silu_diff(x, scale, bias, num_groups, eps, apply_silu)
     return group_norm_silu_reference(x, scale, bias, num_groups, eps, apply_silu)
