@@ -153,13 +153,21 @@ def group_norm_silu(
     eps: float = 1e-5,
     apply_silu: bool = False,
 ) -> jnp.ndarray:
-    """Dispatching fused GroupNorm(+SiLU): Pallas on TPU when a batch row fits
-    VMEM (differentiable via a custom VJP that recomputes through the
-    reference math), jnp reference otherwise."""
+    """Dispatching fused GroupNorm(+SiLU).
+
+    MEASURED NEGATIVE RESULT (docs/perf.md): the Pallas version is correct on
+    TPU but ~25% slower end-to-end than XLA's GroupNorm — XLA fuses the
+    normalize/SiLU into the surrounding convolution fusions, which beats the
+    kernel's standalone read-twice/write-once schedule. The XLA path is
+    therefore the default; set INSTANTIR_PALLAS_GN=1 to experiment with the
+    kernel (differentiable via a custom VJP)."""
+    import os
+
     b, h, w, c = x.shape
     row_bytes = h * w * c * x.dtype.itemsize
     if (
-        jax.default_backend() == "tpu"
+        os.environ.get("INSTANTIR_PALLAS_GN") == "1"
+        and jax.default_backend() == "tpu"
         and row_bytes <= _VMEM_BUDGET_BYTES
         and c % num_groups == 0
         and (h * w) % min(_GN_CHUNK, h * w) == 0
