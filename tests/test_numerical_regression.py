@@ -1,0 +1,42 @@
+"""Numerical drift lock: the tiny-pipeline restore output is deterministic
+for fixed seeds; these statistics were recorded on the CPU backend and guard
+against silent numerics changes from future refactors/"optimizations"
+(e.g. a kernel swap that subtly changes reduction order beyond tolerance).
+
+If a change intentionally alters numerics (new init scheme, different RNG
+consumption order), regenerate the constants and say so in the commit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from instantir_tpu.models.dinov2 import tiny_dinov2_config
+from instantir_tpu.models.resampler import tiny_resampler_config
+from instantir_tpu.models.unet import tiny_unet_config
+from instantir_tpu.models.vae import tiny_vae_config
+from instantir_tpu.pipeline import RestoreConfig
+from instantir_tpu.pipeline.factory import build_pipeline
+
+GOLDEN = {"mean": -3.417892, "std": 13.293141, "absmax": 43.277710}
+
+
+def test_restore_statistics_locked():
+    ucfg = tiny_unet_config(with_ip=True, lora_rank=4)
+    rcfg = tiny_resampler_config(output_dim=ucfg.cross_attention_dim, lora_rank=2)
+    pipe = build_pipeline(
+        ucfg, tiny_vae_config(), rcfg, tiny_dinov2_config(), jax.random.PRNGKey(0), image_size=32
+    )
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(1, 32, 32, 3)), jnp.float32)
+    pe = jnp.asarray(rng.normal(size=(1, 7, 32)), jnp.float32)
+    pp = jnp.asarray(rng.normal(size=(1, 16)), jnp.float32)
+    cfg = RestoreConfig(
+        num_inference_steps=4, guidance_scale=7.0, preview_start=0.25, control_guidance_end=0.75
+    )
+    lat, _ = pipe.restore(lq, pe, pp, cfg=cfg, key=jax.random.PRNGKey(7), output_type="latent")
+    a = np.asarray(lat, np.float64)
+    np.testing.assert_allclose(a.mean(), GOLDEN["mean"], rtol=2e-3)
+    np.testing.assert_allclose(a.std(), GOLDEN["std"], rtol=2e-3)
+    np.testing.assert_allclose(np.abs(a).max(), GOLDEN["absmax"], rtol=2e-3)
