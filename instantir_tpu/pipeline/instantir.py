@@ -201,6 +201,29 @@ class InstantIRPipeline:
         return self._jit_decode_cache[key](params, latents)
 
     # ------------------------------------------------------------------
+    # Framework-native checkpointing (orbax). Torch-format interop lives in
+    # instantir_tpu.convert / the trainers' export_* methods.
+    # ------------------------------------------------------------------
+
+    def save_params(self, path: str):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(os.path.join(path, "params")), self.params)
+        ckptr.wait_until_finished()
+
+    def load_params(self, path: str):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        self.params = ckptr.restore(os.path.abspath(os.path.join(path, "params")), self.params)
+        return self.params
+
+    # ------------------------------------------------------------------
     # The denoise loop
     # ------------------------------------------------------------------
 
