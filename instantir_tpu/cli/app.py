@@ -123,9 +123,16 @@ def launch(argv: Optional[List[str]] = None):
             with gr.Column():
                 out = gr.Image(label="Restored")
                 gallery = gr.Gallery(label="Previewer row")
+        def _run(lq_im, prompt_s, steps_v, cfg_v, guidance_end_v, creative_v, seed_v, previews_v, preview_start_v):
+            return app.instantir_restore(
+                lq_im, prompt=prompt_s, steps=steps_v, cfg_scale=cfg_v, guidance_end=guidance_end_v,
+                creative_restoration=creative_v, seed=seed_v,
+                preview_start=preview_start_v, save_preview_row=previews_v,
+            )
+
         run.click(
-            app.instantir_restore,
-            [lq, prompt, steps, cfg, guidance_end, creative, seed, previews],
+            _run,
+            [lq, prompt, steps, cfg, guidance_end, creative, seed, previews, preview_start],
             [out, gallery],
         )
     demo.launch()

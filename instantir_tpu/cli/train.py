@@ -65,8 +65,9 @@ def _build_models(args):
 
         pipe = load_instantir_pipeline(
             args.sdxl_path,
-            args.adapter_path or args.sdxl_path,
+            instantir_path=None,
             vision_encoder_path=args.vision_encoder_path,
+            adapter_path=args.adapter_path,
             previewer_lora_path=args.previewer_lora_path,
         )
         return pipe
@@ -133,7 +134,9 @@ def _data_iter(args):
         from instantir_tpu.data.dataset import WeightedImageDataset, load_data_config
 
         ds = WeightedImageDataset(load_data_config(args.data_config, args.data_dir), seed=args.seed)
-    return ds.batches(batch_size=args.train_batch_size, gt_size=args.resolution * 4)
+    # GT crops at the training resolution (reference feeds gt_size=resolution
+    # images into the degradation, utils/train_utils.py:123-127 + DEGRADE_OPT)
+    return ds.batches(batch_size=args.train_batch_size, gt_size=args.resolution)
 
 
 def main(argv=None):

@@ -504,6 +504,29 @@ def convert_clip_text(sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 _LORA_KEY_RE = re.compile(r"^(unet\.)?(.+)\.lora_([AB])\.weight$")
+_RESAMPLER_LORA_RE = re.compile(
+    r"^unet\.encoder_hid_proj\.image_projection_layers\.0\.layers\.(\d+)\.0\.(to_q|to_kv|to_out)\.lora_([AB])\.weight$"
+)
+
+
+def merge_resampler_lora(resampler_tree: Dict[str, Any], lora_sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, Any], int]:
+    """Merge the resampler's share of a previewer LoRA file — in the torch
+    module tree the resampler lives at ``unet.encoder_hid_proj.image_projection_layers.0``
+    (``PREVIEWER_LORA_MODULES`` entries "to_q"/"to_kv"/"0.to_out",
+    ``pipelines/sdxl_instantir.py:141-144``)."""
+    merged = 0
+    params = resampler_tree["params"]
+    for key, val in lora_sd.items():
+        m = _RESAMPLER_LORA_RE.match(key)
+        if not m:
+            continue
+        layer, target, which = int(m.group(1)), m.group(2), "lora_a" if m.group(3) == "A" else "lora_b"
+        node = params.get(f"layers_{layer}_attn", {}).get(target)
+        if node is None:
+            continue
+        node.setdefault(which, {})["kernel"] = np.ascontiguousarray(val.T)
+        merged += 1
+    return resampler_tree, merged
 
 
 def merge_previewer_lora(

@@ -322,7 +322,11 @@ class InstantIRPipeline:
                 )
 
                 preview_text = preview_latent[-bsz:]  # text-cond half under CFG
-                if cfg.adastep_restore and mode == "B":
+                # the reference updates the factors on every controlnet-active
+                # step (mode A uses the LQ latent as "preview", :1636-1644);
+                # in phase C cond_scale multiplies zero residuals so freezing
+                # the factor there is behavior-identical.
+                if cfg.adastep_restore and mode in ("A", "B"):
                     # preview_factor ← ‖preview−x̂0‖² / ‖preview−prev_preview‖²  (:1636-1644)
                     d_pred = jnp.sum((preview_text.astype(jnp.float32) - pred_x0.astype(jnp.float32)) ** 2, axis=(1, 2, 3))
                     d_prev = jnp.sum((preview_text.astype(jnp.float32) - prev_preview) ** 2, axis=(1, 2, 3))

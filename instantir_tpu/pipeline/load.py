@@ -59,9 +59,44 @@ def jax_tree_cast(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
+def fill_missing_leaves(tree: Dict, shapes: Dict, rng: np.random.Generator) -> Dict:
+    """Complete a converted tree against an eval_shape template: leaves absent
+    from the checkpoint are created — zero-init for LoRA B / zero-convs /
+    biases, lecun-normal for everything else (fresh adapter/LoRA training
+    starts from these)."""
+
+    def walk(dst, tmpl, path):
+        for key, tval in tmpl.items():
+            if isinstance(tval, dict):
+                walk(dst.setdefault(key, {}), tval, path + (key,))
+            elif key not in dst:
+                shape, jdtype = tval.shape, tval.dtype
+                name = str(key)
+                if name == "bias" or "lora_b" in path or "zero_conv" in path:
+                    dst[key] = np.zeros(shape, np.float32)
+                elif name == "scale":
+                    dst[key] = np.ones(shape, np.float32)
+                else:
+                    fan_in = int(np.prod(shape[:-1])) if len(shape) >= 2 else int(shape[0])
+                    dst[key] = rng.normal(scale=1.0 / np.sqrt(max(fan_in, 1)), size=shape).astype(np.float32)
+
+    walk(tree["params"], shapes["params"], ())
+    return tree
+
+
+def build_aggregator_tree(unet_tree: Dict, shapes: Dict, rng: np.random.Generator) -> Dict:
+    """Fresh Aggregator from UNet weights (``Aggregator.from_unet`` semantics,
+    reference ``module/aggregator.py:563-578``): conv_in/ref_conv_in/time
+    embeds/down/mid copied from the UNet; SFT heads random, zero-convs zero."""
+    from instantir_tpu.pipeline.factory import init_aggregator_from_unet
+
+    tree = fill_missing_leaves({"params": {}}, shapes, rng)
+    return init_aggregator_from_unet(unet_tree, tree)
+
+
 def load_instantir_pipeline(
     sdxl_path: str,
-    instantir_path: str,
+    instantir_path: Optional[str] = None,
     vision_encoder_path: Optional[str] = None,
     adapter_path: Optional[str] = None,
     previewer_lora_path: Optional[str] = None,
@@ -72,33 +107,87 @@ def load_instantir_pipeline(
 
     ``dtype`` is the UNet/aggregator param+compute dtype (bf16 by default —
     the TPU analogue of the reference's fp16); the VAE stays fp32
-    (``force_upcast``).
+    (``force_upcast``). InstantIR artifacts (adapter.pt, previewer LoRA,
+    aggregator.pt) are each optional — missing pieces are freshly initialized
+    so the stage-1/stage-2 trainers can bootstrap from plain SDXL weights.
     """
+    import jax
+
     unet_cfg = sdxl_base_config(with_ip=True, lora_rank=64)
     vae_cfg = sdxl_vae_config()
     res_cfg = instantir_resampler_config(lora_rank=64)
     dino_cfg = dinov2_large_config()
+    host_rng = np.random.default_rng(0)
 
-    # UNet + adapter + LoRA
+    unet = UNet2DConditionModel(unet_cfg, use_flash=use_flash, dtype=dtype, param_dtype=dtype)
+    aggregator = Aggregator(unet_cfg, use_flash=use_flash, dtype=dtype, param_dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
+    resampler = Resampler(res_cfg, dtype=dtype, param_dtype=dtype)
+    dino = DINOv2Model(dino_cfg, dtype=dtype, param_dtype=dtype)
+
+    # shape templates (abstract — no compute)
+    key = jax.random.PRNGKey(0)
+    lat = 128
+    unet_shapes = jax.eval_shape(
+        lambda k: unet.init(
+            k, jnp.zeros((1, lat, lat, 4), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 2048), dtype), jnp.zeros((1, 1280), dtype), jnp.zeros((1, 6), dtype),
+            ip_hidden_states=jnp.zeros((1, 64, 2048), dtype),
+        ),
+        key,
+    )
+    agg_shapes = jax.eval_shape(
+        lambda k: aggregator.init(
+            k, jnp.zeros((1, lat, lat, 4), dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, lat, lat, 4), dtype),
+            added_text_embeds=jnp.zeros((1, 1280), dtype), added_time_ids=jnp.zeros((1, 6), dtype),
+        ),
+        key,
+    )
+    res_shapes = jax.eval_shape(
+        lambda k: resampler.init(k, jnp.zeros((1, 257, res_cfg.embedding_dim), dtype)), key
+    )
+
+    # UNet base weights
     unet_sd = t2f.load_torch_state_dict(_find_weights(os.path.join(sdxl_path, "unet")))
     unet_tree = t2f.convert_unet(unet_sd, unet_cfg)
 
-    adapter_file = adapter_path or os.path.join(instantir_path, "adapter.pt")
-    adapter_sd = t2f.load_torch_state_dict(adapter_file)
-    image_proj_sd = {k[len("image_proj."):]: v for k, v in adapter_sd.items() if k.startswith("image_proj.")}
-    ip_sd = {k[len("ip_adapter."):]: v for k, v in adapter_sd.items() if k.startswith("ip_adapter.")}
-    unet_tree = t2f.merge_ip_adapter(unet_tree, ip_sd, unet_cfg)
-    resampler_tree = t2f.convert_resampler(image_proj_sd, res_cfg)
+    # adapter.pt (optional): ip attention + resampler weights
+    adapter_file = adapter_path or (instantir_path and os.path.join(instantir_path, "adapter.pt"))
+    if adapter_file and os.path.exists(adapter_file):
+        adapter_sd = t2f.load_torch_state_dict(adapter_file)
+        image_proj_sd = {k[len("image_proj."):]: v for k, v in adapter_sd.items() if k.startswith("image_proj.")}
+        ip_sd = {k[len("ip_adapter."):]: v for k, v in adapter_sd.items() if k.startswith("ip_adapter.")}
+        unet_tree = t2f.merge_ip_adapter(unet_tree, ip_sd, unet_cfg)
+        resampler_tree = t2f.convert_resampler(image_proj_sd, res_cfg)
+    else:
+        print("[load] no adapter.pt — ip attention + resampler freshly initialized")
+        resampler_tree = {"params": {}}
+    resampler_tree = fill_missing_leaves(resampler_tree, res_shapes, host_rng)
+    # fill any missing UNet leaves (ip params without adapter.pt, LoRA leaves
+    # always — real checkpoints carry no flax lora_a/lora_b until merged)
+    unet_tree = fill_missing_leaves(unet_tree, unet_shapes, host_rng)
 
-    lora_file = previewer_lora_path or os.path.join(instantir_path, "previewer_lora_weights.bin")
-    if os.path.exists(lora_file):
+    # previewer LoRA (optional) — UNet part + the resampler part that lives
+    # under unet.encoder_hid_proj in the torch module tree
+    lora_file = previewer_lora_path or (
+        instantir_path and os.path.join(instantir_path, "previewer_lora_weights.bin")
+    )
+    if lora_file and os.path.exists(lora_file):
         lora_sd = t2f.load_torch_state_dict(lora_file)
         unet_tree, n = t2f.merge_previewer_lora(unet_tree, lora_sd, unet_cfg)
-        print(f"[load] merged {n} previewer-LoRA tensors")
+        resampler_tree, n_res = t2f.merge_resampler_lora(resampler_tree, lora_sd)
+        print(f"[load] merged {n} UNet + {n_res} resampler previewer-LoRA tensors")
 
-    # Aggregator
-    agg_sd = t2f.load_torch_state_dict(os.path.join(instantir_path, "aggregator.pt"))
-    agg_tree = t2f.convert_aggregator(agg_sd, unet_cfg)
+    # Aggregator (optional — fresh from_unet init when absent)
+    agg_file = instantir_path and os.path.join(instantir_path, "aggregator.pt")
+    if agg_file and os.path.exists(agg_file):
+        agg_sd = t2f.load_torch_state_dict(agg_file)
+        agg_tree = t2f.convert_aggregator(agg_sd, unet_cfg)
+        agg_tree = fill_missing_leaves(agg_tree, agg_shapes, host_rng)
+    else:
+        print("[load] no aggregator.pt — initialized from the UNet (from_unet)")
+        agg_tree = build_aggregator_tree(unet_tree, agg_shapes, host_rng)
 
     # VAE (fp32)
     vae_sd = t2f.load_torch_state_dict(_find_weights(os.path.join(sdxl_path, "vae")))
@@ -109,15 +198,6 @@ def load_instantir_pipeline(
     if vision_encoder_path:
         dino_sd = t2f.load_torch_state_dict(_find_weights(vision_encoder_path))
         dino_tree = t2f.convert_dinov2(dino_sd, dino_cfg)
-
-    # fill missing LoRA leaves with zeros by initializing and overlaying
-    import jax
-
-    unet = UNet2DConditionModel(unet_cfg, use_flash=use_flash, dtype=dtype, param_dtype=dtype)
-    aggregator = Aggregator(unet_cfg, use_flash=use_flash, dtype=dtype, param_dtype=dtype)
-    vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
-    resampler = Resampler(res_cfg, dtype=dtype, param_dtype=dtype)
-    dino = DINOv2Model(dino_cfg, dtype=dtype, param_dtype=dtype)
 
     params = {
         "unet": jax_tree_cast(unet_tree, dtype),

@@ -145,11 +145,11 @@ def build_previewer_step(unet, resampler, vae, image_encoder, schedule, losses, 
             x0_u = pred_x0_from_eps(schedule, noisy, eps_u, start_t)
             x0 = x0_c + w * (x0_c - x0_u)
             eps = eps_c + w * (eps_c - eps_u)
-            # DDIM to prev solver point: index-1 (alpha=final at index<0)
-            prev_t = jnp.where(index > 0, solver_ts[jnp.maximum(index - 1, 0)], -1)
-            abar_prev = jnp.where(
-                prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], schedule.final_alpha_cumprod
-            ).reshape(-1, 1, 1, 1)
+            # DDIM to prev solver point: index-1; at index 0 the reference's
+            # DDIMSolver uses alphas_cumprod[0] (NOT alpha=1 —
+            # train_previewer_lora.py:201-203), keeping the eps term alive.
+            prev_t = jnp.where(index > 0, solver_ts[jnp.maximum(index - 1, 0)], 0)
+            abar_prev = schedule.alphas_cumprod[prev_t].reshape(-1, 1, 1, 1)
             return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps
 
         x_prev = jax.lax.stop_gradient(teacher())

@@ -97,8 +97,10 @@ def build_stage1_step(
         z = vae.apply(params["vae"], gt.astype(jnp.float32), rng=k_vae, sample=True, method=vae.encode)
         latents = jax.lax.stop_gradient(scale_latents(vae.config, z))
 
-        iw = importance_sampling_weights(schedule.num_train_timesteps) if cfg.importance_sampling else None
-        t = common.sample_timesteps(k_t, bsz, schedule.num_train_timesteps, iw)
+        # reference semantics (train_stage1_adapter.py:1144-1149): t is sampled
+        # UNIFORMLY and the loss is weighted by T·p(t) — do NOT sample from
+        # p(t) and divide (that cancels to the uniform objective).
+        t = common.sample_timesteps(k_t, bsz, schedule.num_train_timesteps, None)
         noise = jax.random.normal(k_noise, latents.shape)
         noisy = add_noise(schedule, latents, noise, t)
 
@@ -114,9 +116,8 @@ def build_stage1_step(
 
         weights = None
         if cfg.importance_sampling:
-            # weight ∝ 1 / (T·p(t)) so the weighted objective stays unbiased
-            p = jnp.asarray(iw)[t]
-            weights = 1.0 / (schedule.num_train_timesteps * p)
+            iw = importance_sampling_weights(schedule.num_train_timesteps)
+            weights = schedule.num_train_timesteps * jnp.asarray(iw)[t]
 
         total = 0.0
         metrics = {}
@@ -205,7 +206,7 @@ class Stage1Trainer:
         self.global_step += 1
         return metrics
 
-    def run(self, data_iter, cond: Dict[str, jnp.ndarray]):
+    def run(self, data_iter, cond: Dict[str, jnp.ndarray], val_batch=None):
         cfg = self.cfg
         self.resume()
         key = jax.random.PRNGKey(cfg.seed)
@@ -252,11 +253,19 @@ class Stage1Trainer:
         from instantir_tpu.convert.flax_to_torch import export_ip_adapter, export_resampler
 
         params = common.merge_params(self.trainable, self.frozen)
+        # the reference loads image_proj with strict=True
+        # (module/ip_adapter/utils.py:61) — LoRA leaves must not leak in
+        image_proj = {
+            k: torch.from_numpy(np.asarray(v))
+            for k, v in export_resampler(params["resampler"]).items()
+            if "lora_" not in k
+        }
         payload = {
-            "image_proj": {k: torch.from_numpy(np.asarray(v)) for k, v in export_resampler(params["resampler"]).items()},
+            "image_proj": image_proj,
             "ip_adapter": {
                 k: torch.from_numpy(np.asarray(v))
                 for k, v in export_ip_adapter(params["unet"], self.unet.config).items()
+                if "lora_" not in k
             },
         }
         torch.save(payload, path)

@@ -85,7 +85,6 @@ ADAPTER_EMA_PRED = lambda path: stage1_trainable_pred(path)  # noqa: E731
 
 def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule, losses, cfg: Stage2Config):
     alpha = cfg.lora_alpha
-    iw = importance_sampling_weights(schedule.num_train_timesteps) if cfg.importance_sampling else None
 
     def loss_fn(trainable, frozen, ema_adapter, batch, key):
         params = common.merge_params(trainable, frozen)
@@ -129,7 +128,9 @@ def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule,
         gt_latent = jax.lax.stop_gradient(gt_latent)
         lq_latent = jax.lax.stop_gradient(lq_latent)
 
-        t = common.sample_timesteps(k_t, bsz, schedule.num_train_timesteps, iw)
+        # uniform t; importance sampling enters as a T·p(t) loss weight
+        # (reference train_stage2_aggregator.py:1498,1503)
+        t = common.sample_timesteps(k_t, bsz, schedule.num_train_timesteps, None)
         noise = jax.random.normal(k_noise, gt_latent.shape)
         noisy = add_noise(schedule, gt_latent, noise, t)
 
@@ -187,8 +188,8 @@ def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule,
 
         weights = None
         if cfg.importance_sampling:
-            p = jnp.asarray(iw)[t]
-            weights = 1.0 / (schedule.num_train_timesteps * p)
+            iw = importance_sampling_weights(schedule.num_train_timesteps)
+            weights = schedule.num_train_timesteps * jnp.asarray(iw)[t]
 
         total = 0.0
         metrics = {"preview_error_latent": preview_err}
