@@ -119,6 +119,27 @@ def flash_attention(
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale=scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    # backward through the mathematically identical XLA attention — a bare
+    # pallas_call has no autodiff rule, and trainers differentiate through
+    # every attention site (a Pallas backward kernel is on the roadmap).
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: attention_xla(q, k, v, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_fwd, _flash_bwd)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -130,11 +151,13 @@ def dot_product_attention(
     """Dispatching attention: Pallas flash on TPU for long sequences, XLA else.
 
     The flash path has no bias support (none is needed in the InstantIR
-    compute graph) and is inference-oriented; training paths pass
-    ``use_flash=False`` to keep plain autodiff.
+    compute graph). It is differentiable: the custom VJP recomputes the
+    backward through the XLA reference (O(S²) memory — fine at training
+    resolutions; long-sequence training wants the Pallas backward kernel,
+    see docs/roadmap.md).
     """
     kv_len = k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
     if use_flash and bias is None and on_tpu and kv_len >= 512 and q.shape[1] >= 128:
-        return flash_attention(q, k, v, scale=scale)
+        return _flash_diff(q, k, v, scale)
     return attention_xla(q, k, v, scale=scale, bias=bias)

@@ -80,6 +80,7 @@ class RestoreConfig:
     num_train_timesteps: int = 1000
     timestep_spacing: str = "leading"
     steps_offset: int = 1
+    timesteps: Optional[Tuple[int, ...]] = None  # custom descending sequence (static)
 
     @property
     def do_cfg(self) -> bool:
@@ -92,8 +93,13 @@ def build_step_phases(cfg: RestoreConfig, timesteps: Optional[np.ndarray] = None
     Reproduces the reference's per-step schedule flags (``:1414-1421``) and
     groups equal-flag runs so each run becomes one scan.
     """
-    n = cfg.num_inference_steps
     if timesteps is None:
+        timesteps = cfg.timesteps
+    if timesteps is not None:
+        timesteps = np.asarray(timesteps, np.int64)
+        n = len(timesteps)
+    else:
+        n = cfg.num_inference_steps
         timesteps = ddpm_inference_timesteps(
             n, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset
         )
@@ -165,9 +171,15 @@ class InstantIRPipeline:
         constant), so they are computed once and cached across calls."""
         pixels = preprocess_dinov2(lq_images)
         cond = self._jit_dino(params, pixels)
-        cache_key = (id(params["image_encoder"]), pixels.shape[1:], str(pixels.dtype))
-        if getattr(self, "_uncond_cache_key", None) != cache_key:
+        # identity check against a STRONG reference — id() alone can be
+        # reused after GC and silently serve stale embeddings
+        cache_key = (pixels.shape[1:], str(pixels.dtype))
+        if (
+            getattr(self, "_uncond_cache_params", None) is not params["image_encoder"]
+            or getattr(self, "_uncond_cache_key", None) != cache_key
+        ):
             self._uncond_tokens = self._jit_dino(params, jnp.zeros((1,) + pixels.shape[1:], pixels.dtype))
+            self._uncond_cache_params = params["image_encoder"]
             self._uncond_cache_key = cache_key
         uncond = jnp.broadcast_to(self._uncond_tokens, cond.shape)
         return cond, uncond
@@ -264,7 +276,7 @@ class InstantIRPipeline:
 
         def make_body(mode: str, params, cond, image_latent, ip_base, ip_lora, reference_latents=None):
             def body(carry, step_in):
-                latents, key, preview_factor, prev_preview, prev_unet = carry
+                latents, key, preview_factor, prev_preview = carry
                 t, prev_t = step_in["t"], step_in["prev_t"]
                 bsz = latents.shape[0]
                 tb = jnp.full((latents.shape[0] * (2 if do_cfg else 1),), t, jnp.int32)
@@ -281,8 +293,7 @@ class InstantIRPipeline:
                         latents,
                         jax.random.normal(sub, latents.shape, jnp.float32),
                     )
-                    preview_out = jnp.zeros_like(latents) if cfg.save_preview_row else ()
-                    return (latents, key, preview_factor, prev_preview, prev_unet), preview_out
+                    return (latents, key, preview_factor, prev_preview), ()
 
                 # A/B: controlnet active
                 if mode == "B":
@@ -332,13 +343,11 @@ class InstantIRPipeline:
                     d_prev = jnp.sum((preview_text.astype(jnp.float32) - prev_preview) ** 2, axis=(1, 2, 3))
                     preview_factor = (d_pred / jnp.maximum(d_prev, 1e-12)).reshape(-1, 1, 1, 1)
                     prev_preview = preview_text.astype(jnp.float32)
-                    prev_unet = pred_x0.astype(jnp.float32)
 
-                if cfg.save_preview_row:
-                    preview_out = preview_text if mode == "B" else jnp.zeros_like(latents)
-                else:
-                    preview_out = ()
-                return (new_latents, key, preview_factor, prev_preview, prev_unet), preview_out
+                # only real previews enter the row (the reference appends only
+                # on previewing steps, :1564-1567)
+                preview_out = preview_text if (cfg.save_preview_row and mode == "B") else ()
+                return (new_latents, key, preview_factor, prev_preview), preview_out
 
             return body
 
@@ -346,8 +355,7 @@ class InstantIRPipeline:
             bsz = latents.shape[0]
             preview_factor = jnp.ones((bsz, 1, 1, 1), jnp.float32)
             prev_preview = jnp.zeros(latents.shape, jnp.float32)
-            prev_unet = jnp.zeros(latents.shape, jnp.float32)
-            carry = (latents, key, preview_factor, prev_preview, prev_unet)
+            carry = (latents, key, preview_factor, prev_preview)
             previews = []
             for phase in phases:
                 body = make_body(phase["mode"], params, cond, image_latent, ip_base, ip_lora, reference_latents)
@@ -356,9 +364,10 @@ class InstantIRPipeline:
                     "prev_t": jnp.asarray(phase["prev_t"], jnp.int32),
                 }
                 carry, phase_previews = jax.lax.scan(body, carry, steps)
-                previews.append(phase_previews)
+                if cfg.save_preview_row and phase["mode"] == "B":
+                    previews.append(phase_previews)
             latents = carry[0]
-            preview_row = jnp.concatenate(previews, axis=0) if cfg.save_preview_row else None
+            preview_row = jnp.concatenate(previews, axis=0) if previews else None
             return latents, preview_row
 
         return jax.jit(sample)
@@ -404,8 +413,11 @@ class InstantIRPipeline:
         # 3. prompt conditioning (+ CFG doubling; negative defaults to zeros
         #    per SDXL's force_zeros_for_empty_prompt)
         if cfg.do_cfg:
+            # zero negatives per SDXL's force_zeros_for_empty_prompt; guard
+            # each independently (a caller may pass only one of them)
             if negative_prompt_embeds is None:
                 negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+            if negative_pooled_embeds is None:
                 negative_pooled_embeds = jnp.zeros_like(pooled_embeds)
             prompt_embeds = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
             pooled_embeds = jnp.concatenate([negative_pooled_embeds, pooled_embeds], axis=0)
@@ -413,9 +425,12 @@ class InstantIRPipeline:
         cond = {"prompt_embeds": prompt_embeds, "pooled_embeds": pooled_embeds, "time_ids": time_ids}
 
         # 4. init latents from the noised LQ latent (reference init_latents :932-939)
-        timesteps = ddpm_inference_timesteps(
-            cfg.num_inference_steps, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset
-        )
+        if cfg.timesteps is not None:
+            timesteps = np.asarray(cfg.timesteps, np.int64)
+        else:
+            timesteps = ddpm_inference_timesteps(
+                cfg.num_inference_steps, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset
+            )
         t0 = jnp.full((b,), int(timesteps[0]), jnp.int32)
         if not hasattr(self, "_jit_init_latents"):
             self._jit_init_latents = jax.jit(
@@ -441,4 +456,8 @@ class InstantIRPipeline:
         previews = None
         if cfg.save_preview_row and preview_row is not None:
             previews = [self.decode_latents(params, p) for p in preview_row]
+        if output_type == "np":
+            image = np.asarray(image.astype(jnp.float32))
+            if previews is not None:
+                previews = [np.asarray(p.astype(jnp.float32)) for p in previews]
         return image, previews
