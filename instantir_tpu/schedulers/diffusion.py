@@ -363,6 +363,12 @@ def lcm_inference_timesteps(
     c = num_train_timesteps // original_inference_steps
     lcm_origin = np.asarray(list(range(1, int(original_inference_steps * strength) + 1))) * c - 1
     skipping_step = len(lcm_origin) // num_inference_steps
+    if skipping_step < 1:
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} exceeds the {len(lcm_origin)}-entry "
+            f"LCM origin schedule (original_inference_steps={original_inference_steps}, "
+            f"strength={strength}); reduce num_inference_steps"
+        )
     return lcm_origin[::-skipping_step][:num_inference_steps].astype(np.int64)
 
 
