@@ -112,7 +112,8 @@ def bench_degradation_vae(res=512):
     vparams = synth_params(vae, lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)))
     deg = RealESRGANDegradation(resolution=res)
     rng = np.random.default_rng(0)
-    gt = jnp.asarray(rng.uniform(size=(1, res * 4, res * 4, 3)), jnp.float32)
+    # GT enters at the training resolution (reference feeds gt_size images)
+    gt = jnp.asarray(rng.uniform(size=(1, res, res, 3)), jnp.float32)
     kernels = deg.sample_kernels(rng, 1)
 
     def run(seed):
