@@ -37,7 +37,7 @@ class GEGLUFeedForward(nn.Module):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = LoRADense(inner * 2, name="proj", **lora, **common)(x, lora_scale)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)
         return LoRADense(self.dim, name="out", **lora, **common)(h, lora_scale)
 
 
