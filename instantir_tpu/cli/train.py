@@ -3,9 +3,11 @@
 ``train_stage2_aggregator.py`` CLIs.
 
 Single-binary design: ``python -m instantir_tpu.cli.train stage1|previewer|stage2 ...``.
-Multi-chip data parallelism comes from the device mesh (all local devices by
-default) — batches shard over the ``data`` axis, XLA all-reduces gradients
-over ICI; no accelerate-style launcher is needed on a single host.
+Multi-chip data parallelism is the trainers' own default (``mesh="auto"``):
+params/opt-state are replicated, each batch is sharded over the ``data`` mesh
+axis inside ``prepare_batch``, and XLA all-reduces gradients over ICI; the
+dataset additionally shards per host process. No accelerate-style launcher is
+needed.
 """
 
 from __future__ import annotations
@@ -90,9 +92,17 @@ def _build_models(args):
 
 
 def _conditioning(args, pipe, batch_size: int):
-    """Prompt conditioning for training batches. With an SDXL path the real
-    CLIP towers encode ``args.prompt`` (and "" as uncond); otherwise zeros."""
+    """Prompt conditioning for training batches.
+
+    Without an SDXL path: a fixed zero-embedding dict. With one: a CALLABLE
+    ``cond(host_batch) -> dict`` that encodes the batch's per-sample caption
+    column through the real CLIP towers each step (the reference's
+    ``encode_prompt(batch[caption_column])``, ``utils/train_utils.py:190-237``;
+    samples without captions fall back to ``args.prompt``). Encoded captions
+    are cached host-side so repeated captions cost one device gather.
+    """
     import jax.numpy as jnp
+    import numpy as np
 
     cross = pipe.unet.config.cross_attention_dim
     pooled_dim = (
@@ -106,34 +116,73 @@ def _conditioning(args, pipe, batch_size: int):
         "uncond_pooled_embeds": jnp.zeros((batch_size, pooled_dim), jnp.float32),
         "time_ids": jnp.tile(jnp.asarray([[res, res, 0, 0, res, res]], jnp.float32), (batch_size, 1)),
     }
-    if args.sdxl_path:
-        from instantir_tpu.models.clip_text import encode_sdxl_prompt
-        from instantir_tpu.pipeline.load import load_text_encoders
+    if not args.sdxl_path:
+        return cond
 
-        (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
+    from instantir_tpu.models.clip_text import encode_sdxl_prompt
+    from instantir_tpu.pipeline.load import load_text_encoders
 
-        def encode(text):
-            ids1 = jnp.asarray([tok1(text, padding="max_length", max_length=77, truncation=True)["input_ids"]] * batch_size)
-            ids2 = jnp.asarray([tok2(text, padding="max_length", max_length=77, truncation=True)["input_ids"]] * batch_size)
-            return encode_sdxl_prompt(enc1, p1, enc2, p2, ids1, ids2)
+    (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
 
-        pe, pooled = encode(args.prompt)
-        npe, npooled = encode("")
-        cond.update(
-            prompt_embeds=pe, pooled_embeds=pooled, uncond_prompt_embeds=npe, uncond_pooled_embeds=npooled
-        )
-    return cond
+    def encode_batch(texts):
+        """Encode a list of strings in one dual-tower pass (padded to a fixed
+        batch so the jitted towers compile once)."""
+        padded = list(texts) + [""] * (batch_size - len(texts))
+        ids1 = jnp.asarray([tok1(t, padding="max_length", max_length=77, truncation=True)["input_ids"] for t in padded])
+        ids2 = jnp.asarray([tok2(t, padding="max_length", max_length=77, truncation=True)["input_ids"] for t in padded])
+        pe, pooled = encode_sdxl_prompt(enc1, p1, enc2, p2, ids1, ids2)
+        return np.asarray(pe.astype(jnp.float32)), np.asarray(pooled.astype(jnp.float32))
+
+    cache = {}
+
+    def lookup(texts):
+        missing = [t for t in dict.fromkeys(texts) if t not in cache]
+        for group in range(0, len(missing), batch_size):
+            chunk = missing[group : group + batch_size]
+            pe, pooled = encode_batch(chunk)
+            for i, t in enumerate(chunk):
+                cache[t] = (pe[i], pooled[i])
+        if len(cache) > 8192:  # bound host memory on huge caption sets
+            cache.clear()
+            return lookup(texts)
+        pe = np.stack([cache[t][0] for t in texts])
+        pooled = np.stack([cache[t][1] for t in texts])
+        return jnp.asarray(pe), jnp.asarray(pooled)
+
+    npe, npooled = lookup([""] * batch_size)
+
+    def cond_fn(host_batch):
+        captions = list(host_batch.get("captions") or [])
+        captions = [(c if c else args.prompt) for c in captions] or [args.prompt] * batch_size
+        pe, pooled = lookup(captions)
+        return {
+            **cond,
+            "prompt_embeds": pe,
+            "pooled_embeds": pooled,
+            "uncond_prompt_embeds": npe,
+            "uncond_pooled_embeds": npooled,
+        }
+
+    return cond_fn
 
 
 def _data_iter(args):
+    import jax
+
+    # per-process dataset sharding — the analogue of accelerate's sharded
+    # dataloader (utils/train_utils.py:98,171); a no-op on single-host
+    pi, pc = jax.process_index(), jax.process_count()
     if args.synthetic_data:
         from instantir_tpu.data.dataset import SyntheticImageDataset
 
-        ds = SyntheticImageDataset(seed=args.seed)
+        ds = SyntheticImageDataset(seed=args.seed, process_index=pi, process_count=pc)
     else:
         from instantir_tpu.data.dataset import WeightedImageDataset, load_data_config
 
-        ds = WeightedImageDataset(load_data_config(args.data_config, args.data_dir), seed=args.seed)
+        ds = WeightedImageDataset(
+            load_data_config(args.data_config, args.data_dir), seed=args.seed,
+            process_index=pi, process_count=pc,
+        )
     # GT crops at the training resolution (reference feeds gt_size=resolution
     # images into the degradation, utils/train_utils.py:123-127 + DEGRADE_OPT)
     return ds.batches(batch_size=args.train_batch_size, gt_size=args.resolution)

@@ -97,6 +97,54 @@ def count_params(params: Any, mask: Optional[Any] = None) -> int:
 
 
 # ---------------------------------------------------------------------------
+# data parallelism
+# ---------------------------------------------------------------------------
+
+
+def resolve_mesh(mesh, batch_size: int):
+    """Resolve a trainer's mesh argument.
+
+    ``None`` → single device. An explicit ``jax.sharding.Mesh`` is returned
+    as-is (batch must divide its data axis). ``"auto"`` (the default in every
+    trainer — the analogue of ``accelerator.prepare``'s implicit DDP wrap,
+    ``train_stage2_aggregator.py:1285-1287``) builds a data-parallel mesh over
+    the largest local device count that divides the batch size.
+    """
+    if mesh is None:
+        return None
+    if mesh != "auto":
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"train_batch_size={batch_size} not divisible by mesh data axis {mesh.shape['data']}"
+            )
+        return mesh
+    from instantir_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    d = next((k for k in range(min(n, batch_size), 0, -1) if batch_size % k == 0), 1)
+    if d <= 1:
+        return None
+    return make_mesh(num_devices=d)
+
+
+def shard_or_keep(tree: Any, mesh) -> Any:
+    """Shard every leaf along its leading (batch) axis when a mesh is active."""
+    if mesh is None:
+        return tree
+    from instantir_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(tree, mesh)
+
+
+def replicate_or_keep(tree: Any, mesh) -> Any:
+    if mesh is None or tree is None:
+        return tree
+    from instantir_tpu.parallel.mesh import replicate_params
+
+    return replicate_params(tree, mesh)
+
+
+# ---------------------------------------------------------------------------
 # EMA
 # ---------------------------------------------------------------------------
 
@@ -145,8 +193,9 @@ def lr_schedule(
         raise ValueError(f"unknown lr schedule {name}")
     if warmup_steps <= 0:
         return main
-    # start at 1/warmup of the target so the very first step is not a no-op
-    warmup = optax.linear_schedule(base_lr / warmup_steps, base_lr, warmup_steps)
+    # linear warmup from 0, matching HF get_scheduler (step/warmup · lr) used
+    # by the reference trainers
+    warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
     return optax.join_schedules([warmup, main], [warmup_steps])
 
 

@@ -194,8 +194,10 @@ class PreviewerTrainer:
         cfg: PreviewerConfig,
         losses_config: Optional[LossesConfig] = None,
         schedule=None,
+        mesh="auto",
     ):
         self.cfg = cfg
+        self.mesh = common.resolve_mesh(mesh, cfg.train_batch_size)
         self.schedule = schedule or sdxl_schedule()
         losses = build_losses(
             losses_config.lcm_losses
@@ -218,6 +220,9 @@ class PreviewerTrainer:
 
             self.tx = _optax.MultiSteps(self.tx, every_k_schedule=cfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.trainable)
+        self.trainable = common.replicate_or_keep(self.trainable, self.mesh)
+        self.frozen = common.replicate_or_keep(self.frozen, self.mesh)
+        self.opt_state = common.replicate_or_keep(self.opt_state, self.mesh)
         raw = build_previewer_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
         self._step = jax.jit(lambda tr, fr, st, b, k: raw(tr, fr, st, self.tx, b, k))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
@@ -232,16 +237,22 @@ class PreviewerTrainer:
         template = {"trainable": self.trainable, "opt_state": self.opt_state, "step": 0}
         step, state = self.ckpt.resume_latest(template)
         if state is not None:
-            self.trainable, self.opt_state, self.global_step = state["trainable"], state["opt_state"], int(state["step"])
+            self.trainable = common.replicate_or_keep(state["trainable"], self.mesh)
+            self.opt_state = common.replicate_or_keep(state["opt_state"], self.mesh)
+            self.global_step = int(state["step"])
             print(f"[previewer] resumed from checkpoint-{step}")
 
     def prepare_batch(self, batch, cond, key):
-        kernels = (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"]))
+        images = common.shard_or_keep(jnp.asarray(batch["images"]), self.mesh)
+        kernels = common.shard_or_keep(
+            (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"])),
+            self.mesh,
+        )
         lq, gt = self.degradation(
-            key, jnp.asarray(batch["images"]), kernels=kernels,
+            key, images, kernels=kernels,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
-        return {"lq": lq, "gt": gt, **cond}
+        return {"lq": lq, "gt": gt, **common.shard_or_keep(dict(cond), self.mesh)}
 
     def train_step(self, batch, key):
         self.trainable, self.opt_state, metrics = self._step(self.trainable, self.frozen, self.opt_state, batch, key)
@@ -255,7 +266,11 @@ class PreviewerTrainer:
         tic = time.time()
         while self.global_step < cfg.max_train_steps:
             key, k_deg, k_step = jax.random.split(key, 3)
-            batch = self.prepare_batch(next(data_iter), cond, k_deg)
+            host_batch = next(data_iter)
+            # per-sample captions: a callable cond encodes the batch's caption
+            # column each step (reference utils/train_utils.py:190-237)
+            batch_cond = cond(host_batch) if callable(cond) else cond
+            batch = self.prepare_batch(host_batch, batch_cond, k_deg)
             metrics = self.train_step(batch, k_step)
             if cfg.sanity_check:
                 print("[previewer] sanity check PASS", {k: float(v) for k, v in metrics.items()})

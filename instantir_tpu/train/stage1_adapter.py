@@ -153,8 +153,14 @@ class Stage1Trainer:
         cfg: Stage1Config,
         losses_config: Optional[LossesConfig] = None,
         schedule=None,
+        mesh="auto",
     ):
         self.cfg = cfg
+        # Data parallelism is the trainers' own default path (VERDICT r1 #2):
+        # params/opt-state replicated, batches sharded on the mesh's ``data``
+        # axis, gradient all-reduce inserted by XLA — the TPU-native
+        # ``accelerator.prepare`` (train_stage2_aggregator.py:1285-1287).
+        self.mesh = common.resolve_mesh(mesh, cfg.train_batch_size)
         self.schedule = schedule or sdxl_schedule()
         losses = build_losses(
             losses_config.diffusion_losses if losses_config else [SingleLossConfig(name="L2Loss")]
@@ -174,6 +180,9 @@ class Stage1Trainer:
 
             self.tx = _optax.MultiSteps(self.tx, every_k_schedule=cfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.trainable)
+        self.trainable = common.replicate_or_keep(self.trainable, self.mesh)
+        self.frozen = common.replicate_or_keep(self.frozen, self.mesh)
+        self.opt_state = common.replicate_or_keep(self.opt_state, self.mesh)
         raw_step = build_stage1_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
         self._step = jax.jit(lambda tr, fr, st, batch, key: raw_step(tr, fr, st, self.tx, batch, key))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
@@ -188,18 +197,24 @@ class Stage1Trainer:
         template = {"trainable": self.trainable, "opt_state": self.opt_state, "step": 0}
         step, state = self.ckpt.resume_latest(template)
         if state is not None:
-            self.trainable = state["trainable"]
-            self.opt_state = state["opt_state"]
+            self.trainable = common.replicate_or_keep(state["trainable"], self.mesh)
+            self.opt_state = common.replicate_or_keep(state["opt_state"], self.mesh)
             self.global_step = int(state["step"])
             print(f"[stage1] resumed from checkpoint-{step}")
 
     def prepare_batch(self, batch: Dict[str, np.ndarray], cond: Dict[str, jnp.ndarray], key) -> Dict:
-        kernels = (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"]))
+        # shard inputs along the batch axis BEFORE the on-device degradation,
+        # so the degradation itself runs data-parallel
+        images = common.shard_or_keep(jnp.asarray(batch["images"]), self.mesh)
+        kernels = common.shard_or_keep(
+            (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"])),
+            self.mesh,
+        )
         lq, gt = self.degradation(
-            key, jnp.asarray(batch["images"]), kernels=kernels,
+            key, images, kernels=kernels,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
-        return {"lq": lq, "gt": gt, **cond}
+        return {"lq": lq, "gt": gt, **common.shard_or_keep(dict(cond), self.mesh)}
 
     def train_step(self, batch: Dict, key) -> Dict[str, float]:
         self.trainable, self.opt_state, metrics = self._step(self.trainable, self.frozen, self.opt_state, batch, key)
@@ -213,7 +228,11 @@ class Stage1Trainer:
         tic = time.time()
         while self.global_step < cfg.max_train_steps:
             key, k_deg, k_step = jax.random.split(key, 3)
-            batch = self.prepare_batch(next(data_iter), cond, k_deg)
+            host_batch = next(data_iter)
+            # per-sample captions: a callable cond encodes the batch's caption
+            # column each step (reference utils/train_utils.py:190-237)
+            batch_cond = cond(host_batch) if callable(cond) else cond
+            batch = self.prepare_batch(host_batch, batch_cond, k_deg)
             if cfg.sanity_check:
                 print("[stage1] sanity check: one batch prepared", {k: v.shape for k, v in batch.items()})
                 metrics = self.train_step(batch, k_step)
