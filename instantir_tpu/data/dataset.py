@@ -60,6 +60,44 @@ def list_images(folder: str) -> List[str]:
     return out
 
 
+def load_captions(folder: str) -> dict:
+    """Per-image captions, HF imagefolder convention: ``metadata.jsonl`` rows
+    ``{"file_name": ..., "text": ...}`` (the reference trains on imagefolder
+    datasets whose text column feeds ``encode_prompt``,
+    ``utils/train_utils.py:55-102,190-237``). ``text`` may be a string or a
+    list of strings (multi-caption)."""
+    import json
+
+    captions = {}
+    meta = os.path.join(folder, "metadata.jsonl")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                captions[os.path.normpath(os.path.join(folder, rec["file_name"]))] = rec.get("text", "")
+    return captions
+
+
+def caption_for(path: str, captions: dict, rng: np.random.Generator) -> str:
+    """Caption lookup: metadata entry (random choice for multi-caption, the
+    reference's ``random.choice(caption_column)`` at
+    ``utils/train_utils.py:205-214``) → sidecar ``.txt`` → empty string."""
+    cap = captions.get(os.path.normpath(path))
+    if cap is None:
+        sidecar = os.path.splitext(path)[0] + ".txt"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                cap = f.read().strip()
+        else:
+            cap = ""
+    if isinstance(cap, (list, tuple)):
+        cap = str(cap[int(rng.integers(len(cap)))]) if cap else ""
+    return str(cap)
+
+
 def load_image(path: str) -> np.ndarray:
     """[H, W, 3] float32 in [0, 1]."""
     from PIL import Image
@@ -104,9 +142,11 @@ class WeightedImageDataset:
         self.config = config
         self.kernel_opt = kernel_opt or KERNEL_OPT
         self.files: List[List[str]] = [list_images(d.dataset_folder) for d in config.datasets]
+        self.captions: dict = {}
         for d, fs in zip(config.datasets, self.files):
             if not fs:
                 raise FileNotFoundError(f"no images under {d.dataset_folder}")
+            self.captions.update(load_captions(d.dataset_folder))
         weights = np.asarray([d.dataset_weight for d in config.datasets], np.float64)
         self.weights = weights / weights.sum()
         self.rng = np.random.default_rng(seed * 1000003 + process_index)
@@ -121,24 +161,27 @@ class WeightedImageDataset:
         path = self.files[ds][int(self.rng.integers(len(self.files[ds])))]
         img = random_crop_resize(self.rng, load_image(path), gt_size)
         kernels = sample_kernel_triple(self.rng, self.kernel_opt)
-        return img, kernels
+        return img, kernels, caption_for(path, self.captions, self.rng)
 
     def batches(self, batch_size: int, gt_size: int) -> Iterator[dict]:
         """Infinite stream of collated batches (reference ``collate_fn``,
-        ``utils/train_utils.py:176-200``)."""
+        ``utils/train_utils.py:176-200``); ``captions`` is a host-side list
+        of per-sample strings."""
         while True:
-            imgs, k1s, k2s, sks = [], [], [], []
+            imgs, k1s, k2s, sks, caps = [], [], [], [], []
             for _ in range(batch_size):
-                img, (k1, k2, sk) = self.sample(gt_size)
+                img, (k1, k2, sk), cap = self.sample(gt_size)
                 imgs.append(img)
                 k1s.append(k1)
                 k2s.append(k2)
                 sks.append(sk)
+                caps.append(cap)
             yield {
                 "images": np.stack(imgs),
                 "kernel": np.stack(k1s),
                 "kernel2": np.stack(k2s),
                 "sinc_kernel": np.stack(sks),
+                "captions": caps,
             }
 
 
@@ -164,4 +207,4 @@ class SyntheticImageDataset(WeightedImageDataset):
             dtype=np.float32,
         ) / 255.0
         kernels = sample_kernel_triple(self.rng, self.kernel_opt)
-        return np.clip(img, 0, 1), kernels
+        return np.clip(img, 0, 1), kernels, f"synthetic image {int(self.rng.integers(1000))}"

@@ -44,6 +44,34 @@ def test_weighted_dataset_batches(image_dirs):
     np.testing.assert_array_equal(batch["images"], batch2["images"])
 
 
+def test_dataset_per_sample_captions(image_dirs):
+    """Captions via metadata.jsonl (multi-caption random-choice) and sidecar
+    .txt files (reference utils/train_utils.py:190-237)."""
+    import json
+
+    meta = [
+        {"file_name": "0.png", "text": "caption zero"},
+        {"file_name": "1.png", "text": ["multi one", "multi two"]},
+    ]
+    (image_dirs / "a" / "metadata.jsonl").write_text("\n".join(json.dumps(m) for m in meta))
+    (image_dirs / "b" / "0.txt").write_text("sidecar caption\n")
+    cfg = DataConfig(
+        datasets=[
+            SingleDataConfig(str(image_dirs / "a"), 0.5),
+            SingleDataConfig(str(image_dirs / "b"), 0.5),
+        ]
+    )
+    ds = WeightedImageDataset(cfg, seed=0)
+    seen = set()
+    for batch in [next(ds.batches(batch_size=4, gt_size=64)) for _ in range(8)]:
+        assert len(batch["captions"]) == 4
+        seen.update(batch["captions"])
+    assert "caption zero" in seen
+    assert "sidecar caption" in seen
+    assert seen & {"multi one", "multi two"}  # random-choice multi-caption
+    assert "" in seen  # images without any caption fall back to empty
+
+
 def test_dataset_missing_folder_raises(tmp_path):
     cfg = DataConfig(datasets=[SingleDataConfig(str(tmp_path / "nope"))])
     with pytest.raises(FileNotFoundError):
