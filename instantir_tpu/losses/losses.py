@@ -8,11 +8,16 @@ WeightedNoise, and DINOLoss (teacher-centered softmax CE over DINOv2 tokens,
 ``losses/losses.py:375-465``) implemented against this framework's own
 DINOv2 tower.
 
-Losses that require external pretrained weights unavailable offline (LPIPS'
-VGG, DreamSim, CLIP-vision, ArcFace — the reference's import of
-``pretrained_models.arcface`` is itself broken in-tree, SURVEY.md §2.5) are
-registered as stubs that raise with a clear message at *construction*, so
-configs referencing them fail fast instead of mid-training.
+The perceptual losses are full architectures in this tree — LPIPS (VGG16 +
+linear heads, ``lpips.py``), CLIPLoss (CLIP ViT vision+text towers +
+augmentations, ``models/clip_vision.py`` + ``augmentations.py``), IDLoss
+(ArcFace IR-SE50, ``arcface.py``) and DreamSIM (backbone-ensemble cosine) —
+with converters from the published torch checkpoints. Their pretrained
+weights are not shipped in this environment (the reference's import of
+``pretrained_models.arcface`` is itself broken in-tree, SURVEY.md §2.5), so
+constructing one without a ``weights_path``/injected params raises with a
+clear message at *construction* — configs referencing them fail fast instead
+of mid-training.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from instantir_tpu.losses.loss_config import LossesConfig, SingleLossConfig
 
@@ -36,10 +42,16 @@ class DiffusionLossInputs:
     weights: Optional[jnp.ndarray] = None  # [B] importance weights
     pred_image: Optional[jnp.ndarray] = None  # decoded prediction (image-space losses)
     target_image: Optional[jnp.ndarray] = None
+    prompt_ids: Optional[jnp.ndarray] = None  # [B, 77] CLIP token ids (CLIPLoss)
+    key: Optional[jnp.ndarray] = None  # PRNG key for stochastic losses (CLIP augs)
 
 
 class Loss:
     """Base: __call__(inputs) → scalar."""
+
+    # image-space losses set True: the trainer then decodes pred/target
+    # through the VAE and fills pred_image/target_image
+    needs_images: bool = False
 
     def __init__(self, visualize_every_k: int = -1, **kwargs):
         self.visualize_every_k = visualize_every_k
@@ -105,6 +117,8 @@ class DINOLoss(Loss):
     the framework's DINOv2 apply with loaded weights.
     """
 
+    needs_images = True
+
     def __init__(
         self,
         feature_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
@@ -120,17 +134,24 @@ class DINOLoss(Loss):
         self.center_momentum = center_momentum
         self.center = None  # running center, updated by the trainer
 
-    def __call__(self, inputs: DiffusionLossInputs) -> jnp.ndarray:
-        if self.feature_fn is None:
-            raise ValueError("DINOLoss requires feature_fn (DINOv2 apply with params)")
-        student = self.feature_fn(inputs.pred_image)
-        teacher = jax.lax.stop_gradient(self.feature_fn(inputs.target_image))
-        center = 0.0 if self.center is None else self.center
+    def apply_with_center(self, inputs: DiffusionLossInputs, feature_fn: Callable, center):
+        """Jit-pure form: explicit feature_fn + running center in, the new
+        teacher token mean out (the trainer folds the momentum update,
+        reference ``update_center`` ``losses/losses.py:448-462``)."""
+        student = feature_fn(inputs.pred_image)
+        teacher = jax.lax.stop_gradient(feature_fn(inputs.target_image))
         t = jax.nn.softmax((teacher - center) / self.teacher_temp, axis=-1)
         log_s = jax.nn.log_softmax(student / self.student_temp, axis=-1)
         loss = -jnp.mean(jnp.sum(t * log_s, axis=-1))
+        return loss, jnp.mean(teacher, axis=(0, 1))
+
+    def __call__(self, inputs: DiffusionLossInputs) -> jnp.ndarray:
+        if self.feature_fn is None:
+            raise ValueError("DINOLoss requires feature_fn (DINOv2 apply with params)")
+        center = 0.0 if self.center is None else self.center
+        loss, mean = self.apply_with_center(inputs, self.feature_fn, center)
         # expose the new center for the trainer to fold in (momentum update)
-        self.latest_teacher_mean = jnp.mean(teacher, axis=(0, 1))
+        self.latest_teacher_mean = mean
         return loss
 
     def update_center(self):
@@ -142,28 +163,233 @@ class DINOLoss(Loss):
         )
 
 
-def _unavailable(name: str, why: str):
-    class _Stub(Loss):
-        def __init__(self, **kwargs):
+def _require_weights(name: str, hint: str):
+    raise NotImplementedError(
+        f"{name} needs pretrained weights: pass weights_path=<torch checkpoint> (or inject "
+        f"params/embed fns) in the loss config's init_params. {hint}"
+    )
+
+
+class LPIPSLoss(Loss):
+    """Perceptual distance through VGG16 features (reference ``:83-97``,
+    ``lpips.LPIPS(net='vgg')``). Compares ``pred_image`` / ``target_image``
+    ([-1, 1] pixels). Jit-pure once constructed."""
+
+    needs_images = True
+
+    def __init__(self, weights_path: Optional[str] = None, params=None, config=None, **kwargs):
+        super().__init__(**kwargs)
+        from instantir_tpu.losses.lpips import LPIPS, LPIPSConfig, convert_lpips
+
+        self.config = config or LPIPSConfig()
+        self.module = LPIPS(self.config)
+        if params is not None:
+            self.params = params
+        elif weights_path:
+            from instantir_tpu.convert.torch_to_flax import load_torch_state_dict
+
+            self.params = convert_lpips(load_torch_state_dict(weights_path), self.config)
+        else:
+            _require_weights("LPIPSLoss", "Export one with lpips.LPIPS(net='vgg').state_dict().")
+
+    def __call__(self, inputs: DiffusionLossInputs) -> jnp.ndarray:
+        if inputs.pred_image is None or inputs.target_image is None:
+            raise ValueError("LPIPSLoss needs pred_image/target_image (decoded pixels)")
+        return jnp.mean(self.module.apply(self.params, inputs.pred_image, inputs.target_image))
+
+
+class CLIPLoss(Loss):
+    """Image-text alignment of the prediction with its prompt (reference
+    ``:335-374``): the batch is tiled through random affine/perspective
+    augmentations, CLIP-embedded, and scored as ``1 − diag(logits)/100``.
+
+    Construct from an HF ``CLIPModel`` checkpoint (one state dict holding
+    ``vision_model.*`` + ``text_model.*`` + ``logit_scale``)."""
+
+    needs_images = True
+
+    def __init__(
+        self,
+        weights_path: Optional[str] = None,
+        params=None,
+        augmentations_number: int = 4,
+        vision_config=None,
+        text_config=None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        from instantir_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+        from instantir_tpu.models.clip_vision import CLIPVisionModel, clip_vit_b16_config
+
+        self.vision_config = vision_config or clip_vit_b16_config()
+        self.text_config = text_config or CLIPTextConfig(
+            hidden_size=512, num_layers=12, num_heads=8, intermediate_size=2048, projection_dim=512
+        )  # ViT-B/16's text tower
+        self.vision = CLIPVisionModel(self.vision_config)
+        self.text = CLIPTextModel(self.text_config)
+        self.augmentations_number = augmentations_number
+        if params is not None:
+            self.vision_params, self.text_params, self.logit_scale = params
+        elif weights_path:
+            from instantir_tpu.convert.torch_to_flax import convert_clip_text, load_torch_state_dict
+            from instantir_tpu.models.clip_vision import convert_clip_vision
+
+            sd = load_torch_state_dict(weights_path)
+            self.vision_params = convert_clip_vision(sd, self.vision_config)
+            text_sd = {k: v for k, v in sd.items() if k.startswith("text_model.") or k == "text_projection.weight"}
+            self.text_params = convert_clip_text(text_sd, self.text_config)
+            self.logit_scale = float(np.exp(sd["logit_scale"])) if "logit_scale" in sd else 100.0
+        else:
+            _require_weights("CLIPLoss", "Use an HF CLIPModel (ViT-B/16) state dict.")
+
+    def __call__(self, inputs: DiffusionLossInputs) -> jnp.ndarray:
+        if inputs.pred_image is None or inputs.prompt_ids is None:
+            raise ValueError("CLIPLoss needs pred_image and prompt_ids")
+        from instantir_tpu.losses.augmentations import image_augmentations
+        from instantir_tpu.models.clip_vision import preprocess_clip
+
+        key = inputs.key if inputs.key is not None else jax.random.PRNGKey(0)
+        b = inputs.pred_image.shape[0]
+        images01 = (inputs.pred_image + 1.0) / 2.0
+        batch = image_augmentations(key, images01, self.vision_config.image_size, self.augmentations_number)
+        _, img_embeds = self.vision.apply(self.vision_params, preprocess_clip(batch, self.vision_config.image_size))
+        _, _, txt_embeds = self.text.apply(self.text_params, inputs.prompt_ids)
+        img_embeds = img_embeds / jnp.linalg.norm(img_embeds, axis=-1, keepdims=True)
+        txt_embeds = txt_embeds / jnp.linalg.norm(txt_embeds, axis=-1, keepdims=True)
+        txt_tiled = jnp.tile(txt_embeds, (self.augmentations_number, 1))
+        logits = self.logit_scale * jnp.sum(img_embeds * txt_tiled, axis=-1)  # diag of logits_per_image
+        return jnp.mean(1.0 - logits / 100.0)
+
+
+class IDLoss(Loss):
+    """Face-identity cosine distance through ArcFace IR-SE50 (reference
+    ``:188-293``). Faces are detected by the in-tree MTCNN cascade
+    (``utils/mtcnn.py``, built from ``mtcnn_weights_path``) or any injected
+    ``detect_fn`` ([B,H,W,3]→(landmarks [B,5,2], invalid_idx list)) —
+    detection runs host-side, outside jit, exactly like the reference's eager
+    MTCNN pass — then aligned with the in-tree cp2tform warp, embedded, and
+    scored ``1 − cos``."""
+
+    needs_images = True
+
+    def __init__(
+        self,
+        pretrained_arcface_path: Optional[str] = None,
+        params=None,
+        detect_fn=None,
+        mtcnn_weights_path: Optional[str] = None,
+        skip_not_found: bool = True,
+        config=None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        from instantir_tpu.losses.arcface import ArcFaceBackbone, convert_arcface, ir_se_50_config
+
+        self.config = config or ir_se_50_config()
+        self.backbone = ArcFaceBackbone(self.config)
+        if detect_fn is None and mtcnn_weights_path:
+            from instantir_tpu.utils.mtcnn import build_detect_fn, load_mtcnn
+
+            detect_fn = build_detect_fn(load_mtcnn(mtcnn_weights_path))
+        self.detect_fn = detect_fn
+        self.skip_not_found = skip_not_found
+        if params is not None:
+            self.params = params
+        elif pretrained_arcface_path:
+            from instantir_tpu.convert.torch_to_flax import load_torch_state_dict
+
+            self.params = convert_arcface(load_torch_state_dict(pretrained_arcface_path), self.config)
+        else:
+            _require_weights("IDLoss", "InsightFace model_ir_se50.pth.")
+        if self.detect_fn is None:
             raise NotImplementedError(
-                f"{name} requires pretrained weights unavailable in this environment ({why}). "
-                f"Provide a custom implementation via LOSS_REGISTRY['{name}'] before building losses."
+                "IDLoss needs a face detector: pass mtcnn_weights_path (facenet_pytorch "
+                "pnet/rnet/onet checkpoint — utils/mtcnn.py implements the cascade) or "
+                "inject detect_fn via init_params."
             )
 
-    _Stub.__name__ = name
-    return _Stub
+    def extract_feats(self, faces: jnp.ndarray) -> jnp.ndarray:
+        return self.backbone.apply(self.params, faces)
+
+    def __call__(self, inputs: DiffusionLossInputs) -> jnp.ndarray:
+        if inputs.pred_image is None or inputs.target_image is None:
+            raise ValueError("IDLoss needs pred_image/target_image (decoded pixels)")
+        from instantir_tpu.utils.face import extract_faces_and_landmarks
+
+        lm_pred, bad_pred = self.detect_fn(inputs.pred_image)
+        lm_tgt, bad_tgt = self.detect_fn(inputs.target_image)
+        invalid = set(bad_pred) | set(bad_tgt)
+        valid = [i for i in range(inputs.pred_image.shape[0]) if i not in invalid]
+        if not valid and self.skip_not_found:
+            return jnp.mean(inputs.pred_image * 0.0)  # keeps the graph alive (reference :257-259)
+        size = self.config.input_size
+        pred_faces = extract_faces_and_landmarks(inputs.pred_image[jnp.asarray(valid)], lm_pred[valid], size)
+        tgt_faces = extract_faces_and_landmarks(inputs.target_image[jnp.asarray(valid)], lm_tgt[valid], size)
+        f_pred = self.extract_feats(pred_faces)
+        f_tgt = jax.lax.stop_gradient(self.extract_feats(tgt_faces))
+        return jnp.mean(1.0 - jnp.sum(f_pred * f_tgt, axis=-1))
+
+
+class DreamSIMLoss(Loss):
+    """DreamSim-style perceptual distance (reference ``:53-80``): 224² crops
+    embedded by an ensemble of ViT backbones, distance = 1 − cos of the
+    concatenated per-backbone-normalized embeddings. The published DreamSim
+    ensemble weights (LoRA-tuned DINO/CLIP ViT-B/16s) are injected as
+    ``embed_fns`` ([B,224,224,3] in [0,1] → [B, D] callables)."""
+
+    needs_images = True
+
+    def __init__(self, embed_fns=None, resize_to: int = 224, **kwargs):
+        super().__init__(**kwargs)
+        self.resize_to = resize_to
+        if not embed_fns:
+            _require_weights("DreamSIMLoss", "Inject embed_fns built from DreamSim checkpoint backbones.")
+        self.embed_fns = list(embed_fns)
+
+    def _embed(self, images01: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = images01.shape
+        if (h, w) != (self.resize_to, self.resize_to):
+            images01 = jax.image.resize(images01, (b, self.resize_to, self.resize_to, c), method="bicubic")
+        embs = []
+        for fn in self.embed_fns:
+            e = fn(images01)
+            embs.append(e / jnp.linalg.norm(e, axis=-1, keepdims=True))
+        return jnp.concatenate(embs, axis=-1)
+
+    def __call__(self, inputs: DiffusionLossInputs) -> jnp.ndarray:
+        if inputs.pred_image is None or inputs.target_image is None:
+            raise ValueError("DreamSIMLoss needs pred_image/target_image (decoded pixels)")
+        e_pred = self._embed((inputs.pred_image + 1.0) / 2.0)
+        e_tgt = jax.lax.stop_gradient(self._embed((inputs.target_image + 1.0) / 2.0))
+        cos = jnp.sum(e_pred * e_tgt, axis=-1) / (
+            jnp.linalg.norm(e_pred, axis=-1) * jnp.linalg.norm(e_tgt, axis=-1)
+        )
+        return jnp.mean(1.0 - cos)
+
+
+class LCMVisualization(Loss):
+    """Dummy loss that visualizes the previewer's one-step LCM outputs
+    (reference ``losses/losses.py:99-123``): contributes 0 to the objective;
+    the previewer trainer logs an [encoder input | decoder input | LCM
+    prediction] strip to the tracker every ``visualize_every_k`` steps."""
+
+    needs_images = True
+
+    def __call__(self, inputs: DiffusionLossInputs) -> jnp.ndarray:
+        return jnp.zeros(())
 
 
 LOSS_REGISTRY: Dict[str, Any] = {
+    "LCMVisualization": LCMVisualization,
     "L2Loss": L2Loss,
     "L1Loss": L1Loss,
     "HuberLoss": HuberLoss,
     "WeightedNoiseLoss": WeightedNoiseLoss,
     "DINOLoss": DINOLoss,
-    "LPIPSLoss": _unavailable("LPIPSLoss", "VGG/LPIPS weights"),
-    "DreamSIMLoss": _unavailable("DreamSIMLoss", "DreamSim weights"),
-    "CLIPLoss": _unavailable("CLIPLoss", "CLIP vision weights"),
-    "IDLoss": _unavailable("IDLoss", "ArcFace weights; broken in the reference too"),
+    "LPIPSLoss": LPIPSLoss,
+    "DreamSIMLoss": DreamSIMLoss,
+    "CLIPLoss": CLIPLoss,
+    "IDLoss": IDLoss,
 }
 
 
