@@ -78,9 +78,17 @@ def lora_trainable_pred(path: Tuple[str, ...]) -> bool:
 
 
 def build_previewer_step(unet, resampler, vae, image_encoder, schedule, losses, cfg: PreviewerConfig):
+    from instantir_tpu.losses.losses import DINOLoss, LCMVisualization
+    from instantir_tpu.models.vae import unscale_latents
+
     solver_ts = jnp.asarray(ddim_solver_timesteps(schedule.num_train_timesteps, cfg.num_ddim_timesteps))
     topk = schedule.num_train_timesteps // cfg.num_ddim_timesteps
     alpha = cfg.lora_alpha
+    # optional image-space branch (reference train_previewer_lora.py:1595-1623):
+    # any needs_images loss (DINO/LPIPS/DreamSIM) gets pred/target decoded
+    # through the VAE
+    has_image_loss = any(getattr(l, "needs_images", False) for l, _ in losses)
+    has_vis = any(isinstance(l, LCMVisualization) for l, _ in losses)
 
     def unet_fwd(params, z, t, text, cond, ip, lora):
         return unet.apply(
@@ -94,7 +102,7 @@ def build_previewer_step(unet, resampler, vae, image_encoder, schedule, losses, 
             lora_scale=lora,
         )
 
-    def loss_fn(trainable, frozen, batch, key):
+    def loss_fn(trainable, frozen, batch, key, dino_center):
         params = common.merge_params(trainable, frozen)
         k_i, k_noise, k_w, k_drop, k_vae = jax.random.split(key, 5)
         lq, gt = batch["lq"], batch["gt"]
@@ -104,7 +112,7 @@ def build_previewer_step(unet, resampler, vae, image_encoder, schedule, losses, 
         # conditions
         pixels = preprocess_dinov2((lq + 1.0) / 2.0)
         tokens_cond = image_encoder.apply(params["image_encoder"], pixels)
-        tokens_uncond = image_encoder.apply(params["image_encoder"], jnp.zeros_like(pixels))
+        tokens_uncond = jnp.broadcast_to(batch["uncond_tokens"].astype(tokens_cond.dtype), tokens_cond.shape)
         drop = jax.random.uniform(k_drop, (bsz, 1, 1)) < cfg.image_drop_rate
         tokens = jnp.where(drop, tokens_uncond, tokens_cond)
         ip_lora = resampler.apply(params["resampler"], tokens, lora_scale=alpha)
@@ -162,23 +170,61 @@ def build_previewer_step(unet, resampler, vae, image_encoder, schedule, losses, 
 
         target = jax.lax.stop_gradient(target_fn())
 
+        # optional image-space inputs: decode both predictions through the
+        # VAE (target under stop_gradient; pred decode is differentiated like
+        # the reference's pixel_pred, rematerialized to bound HBM)
+        pred_image = target_image = None
+        feature_fn = None
+        if has_image_loss:
+            def decode(z):
+                return vae.apply(
+                    params["vae"], unscale_latents(vae.config, z.astype(jnp.float32)), method=vae.decode
+                )
+
+            target_image = jax.lax.stop_gradient(decode(target))
+            pred_image = jax.checkpoint(decode)(model_pred)
+
+            def feature_fn(img):
+                return image_encoder.apply(params["image_encoder"], preprocess_dinov2((img + 1.0) / 2.0))
+
         total = 0.0
         metrics = {}
+        new_center = dino_center
         for loss, wt in losses:
-            val = loss(DiffusionLossInputs(predicted=model_pred, target=target, timesteps=start_t))
+            if isinstance(loss, DINOLoss):
+                val, new_center = loss.apply_with_center(
+                    DiffusionLossInputs(
+                        predicted=model_pred, target=target, timesteps=start_t,
+                        pred_image=pred_image, target_image=target_image,
+                    ),
+                    feature_fn,
+                    dino_center,
+                )
+            else:
+                val = loss(DiffusionLossInputs(
+                    predicted=model_pred, target=target, timesteps=start_t,
+                    pred_image=pred_image, target_image=target_image,
+                ))
             total = total + wt * val
             metrics[type(loss).__name__] = val
-        return total, metrics
+        if has_vis:
+            # [encoder input | decoder input | LCM prediction] strip, logged
+            # host-side every visualize_every_k steps (reference
+            # losses/losses.py:115-122)
+            metrics["_vis_strip"] = jnp.concatenate(
+                [lq, gt, pred_image.astype(lq.dtype)], axis=2
+            )
+        return total, (metrics, new_center)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(trainable, frozen, opt_state, tx, batch, key):
-        (loss, metrics), grads = grad_fn(trainable, frozen, batch, key)
+    def step(trainable, frozen, opt_state, tx, batch, key, dino_center):
+        (loss, (metrics, new_center)), grads = grad_fn(trainable, frozen, batch, key, dino_center)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
-        return trainable, opt_state, metrics
+        return trainable, opt_state, metrics, new_center
 
     return step
 
@@ -223,8 +269,17 @@ class PreviewerTrainer:
         self.trainable = common.replicate_or_keep(self.trainable, self.mesh)
         self.frozen = common.replicate_or_keep(self.frozen, self.mesh)
         self.opt_state = common.replicate_or_keep(self.opt_state, self.mesh)
+        # running teacher-token center for the optional image-space DINOLoss
+        # (reference losses/losses.py:448-462 momentum update)
+        from instantir_tpu.losses.losses import DINOLoss, LCMVisualization
+
+        self._dino = next((l for l, _ in losses if isinstance(l, DINOLoss)), None)
+        self._vis = next((l for l, _ in losses if isinstance(l, LCMVisualization)), None)
+        self.dino_center = common.replicate_or_keep(
+            jnp.zeros((image_encoder.config.hidden_size,), jnp.float32), self.mesh
+        )
         raw = build_previewer_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
-        self._step = jax.jit(lambda tr, fr, st, b, k: raw(tr, fr, st, self.tx, b, k))
+        self._step = jax.jit(lambda tr, fr, st, b, k, c: raw(tr, fr, st, self.tx, b, k, c))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
         self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
         self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
@@ -242,6 +297,19 @@ class PreviewerTrainer:
             self.global_step = int(state["step"])
             print(f"[previewer] resumed from checkpoint-{step}")
 
+    def _uncond_image_tokens(self):
+        """DINOv2 tokens of the zero (preprocessed) image — constant per
+        parameter set (the image encoder is frozen), computed once instead of
+        per step (the reference pays this forward every step; the pipeline
+        already caches it, pipeline/instantir.py encode_image_embeds)."""
+        if getattr(self, "_uncond_tok", None) is None:
+            params = common.merge_params(self.trainable, self.frozen)
+            fn = jax.jit(
+                lambda p: self.image_encoder.apply(p, jnp.zeros((1, 224, 224, 3), jnp.float32))
+            )
+            self._uncond_tok = fn(params["image_encoder"])
+        return self._uncond_tok
+
     def prepare_batch(self, batch, cond, key):
         images = common.shard_or_keep(jnp.asarray(batch["images"]), self.mesh)
         kernels = common.shard_or_keep(
@@ -252,10 +320,26 @@ class PreviewerTrainer:
             key, images, kernels=kernels,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
-        return {"lq": lq, "gt": gt, **common.shard_or_keep(dict(cond), self.mesh)}
+        return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),
+                **common.shard_or_keep(dict(cond), self.mesh)}
 
     def train_step(self, batch, key):
-        self.trainable, self.opt_state, metrics = self._step(self.trainable, self.frozen, self.opt_state, batch, key)
+        self.trainable, self.opt_state, metrics, new_center = self._step(
+            self.trainable, self.frozen, self.opt_state, batch, key, self.dino_center
+        )
+        if self._dino is not None:
+            m = self._dino.center_momentum
+            self.dino_center = self.dino_center * m + new_center * (1.0 - m)
+        strip = metrics.pop("_vis_strip", None)
+        if (
+            strip is not None
+            and self._vis.visualize_every_k > 0
+            and self.global_step % self._vis.visualize_every_k == 0
+        ):
+            self.tracker.images(
+                self.global_step, "TrainVisualization",
+                (np.asarray(jnp.asarray(strip, jnp.float32)) + 1.0) / 2.0,
+            )
         self.global_step += 1
         return metrics
 

@@ -88,7 +88,7 @@ def build_stage1_step(
         # DINOv2 embeds of the degraded image, with per-sample image drop
         pixels = preprocess_dinov2((lq + 1.0) / 2.0)
         tokens_cond = image_encoder.apply(params["image_encoder"], pixels)
-        tokens_uncond = image_encoder.apply(params["image_encoder"], jnp.zeros_like(pixels))
+        tokens_uncond = jnp.broadcast_to(batch["uncond_tokens"].astype(tokens_cond.dtype), tokens_cond.shape)
         drop = jax.random.uniform(k_drop, (bsz, 1, 1)) < cfg.image_drop_rate
         tokens = jnp.where(drop, tokens_uncond, tokens_cond)
         ip_tokens = resampler.apply(params["resampler"], tokens)
@@ -202,6 +202,19 @@ class Stage1Trainer:
             self.global_step = int(state["step"])
             print(f"[stage1] resumed from checkpoint-{step}")
 
+    def _uncond_image_tokens(self):
+        """DINOv2 tokens of the zero (preprocessed) image — constant per
+        parameter set (the image encoder is frozen), computed once instead of
+        per step (the reference pays this forward every step; the pipeline
+        already caches it, pipeline/instantir.py encode_image_embeds)."""
+        if getattr(self, "_uncond_tok", None) is None:
+            params = common.merge_params(self.trainable, self.frozen)
+            fn = jax.jit(
+                lambda p: self.image_encoder.apply(p, jnp.zeros((1, 224, 224, 3), jnp.float32))
+            )
+            self._uncond_tok = fn(params["image_encoder"])
+        return self._uncond_tok
+
     def prepare_batch(self, batch: Dict[str, np.ndarray], cond: Dict[str, jnp.ndarray], key) -> Dict:
         # shard inputs along the batch axis BEFORE the on-device degradation,
         # so the degradation itself runs data-parallel
@@ -214,7 +227,8 @@ class Stage1Trainer:
             key, images, kernels=kernels,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
-        return {"lq": lq, "gt": gt, **common.shard_or_keep(dict(cond), self.mesh)}
+        return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),
+                **common.shard_or_keep(dict(cond), self.mesh)}
 
     def train_step(self, batch: Dict, key) -> Dict[str, float]:
         self.trainable, self.opt_state, metrics = self._step(self.trainable, self.frozen, self.opt_state, batch, key)

@@ -112,7 +112,7 @@ def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule,
 
         pixels = preprocess_dinov2((lq + 1.0) / 2.0)
         tokens_cond = image_encoder.apply(params["image_encoder"], pixels)
-        tokens_uncond = image_encoder.apply(params["image_encoder"], jnp.zeros_like(pixels))
+        tokens_uncond = jnp.broadcast_to(batch["uncond_tokens"].astype(tokens_cond.dtype), tokens_cond.shape)
         tokens = jnp.where(drop_image[:, None, None], tokens_uncond, tokens_cond)
 
         text = jnp.where(drop_text[:, None, None], batch["uncond_prompt_embeds"], batch["prompt_embeds"])
@@ -281,6 +281,19 @@ class Stage2Trainer:
             self.ema_adapter = common.replicate_or_keep(state.get("ema_adapter", self.ema_adapter), self.mesh)
             print(f"[stage2] resumed from checkpoint-{step}")
 
+    def _uncond_image_tokens(self):
+        """DINOv2 tokens of the zero (preprocessed) image — constant per
+        parameter set (the image encoder is frozen), computed once instead of
+        per step (the reference pays this forward every step; the pipeline
+        already caches it, pipeline/instantir.py encode_image_embeds)."""
+        if getattr(self, "_uncond_tok", None) is None:
+            params = common.merge_params(self.trainable, self.frozen)
+            fn = jax.jit(
+                lambda p: self.image_encoder.apply(p, jnp.zeros((1, 224, 224, 3), jnp.float32))
+            )
+            self._uncond_tok = fn(params["image_encoder"])
+        return self._uncond_tok
+
     def prepare_batch(self, batch, cond, key):
         images = common.shard_or_keep(jnp.asarray(batch["images"]), self.mesh)
         kernels = common.shard_or_keep(
@@ -291,7 +304,8 @@ class Stage2Trainer:
             key, images, kernels=kernels,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
-        return {"lq": lq, "gt": gt, **common.shard_or_keep(dict(cond), self.mesh)}
+        return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),
+                **common.shard_or_keep(dict(cond), self.mesh)}
 
     def train_step(self, batch, key):
         self.trainable, self.opt_state, metrics = self._step(

@@ -149,3 +149,106 @@ def test_sanity_check_mode(bundle, tmp_path, capsys):
     tr.run(_data(), _cond(bundle, 2))
     assert tr.global_step == 1  # stopped after one batch
     assert "PASS" in capsys.readouterr().out
+
+
+def test_previewer_image_space_dino_loss(bundle):
+    """Optional image-space branch (reference train_previewer_lora.py:1595-1623):
+    pred/target decoded through the VAE, DINOLoss over DINOv2 tokens, the
+    teacher-center momentum state carried across steps."""
+    from instantir_tpu.losses.loss_config import LossesConfig, SingleLossConfig
+
+    losses_cfg = LossesConfig(
+        lcm_losses=[
+            SingleLossConfig(name="HuberLoss", weight=1.0, init_params={"huber_c": 0.001}),
+            SingleLossConfig(name="DINOLoss", weight=0.5),
+        ]
+    )
+    cfg = PreviewerConfig(
+        output_dir="", max_train_steps=2, train_batch_size=2, resolution=RES,
+        num_ddim_timesteps=10, lr_warmup_steps=0, resume_from_checkpoint=None,
+    )
+    tr = PreviewerTrainer(
+        bundle.unet, bundle.resampler, bundle.vae, bundle.image_encoder, bundle.params, cfg, losses_cfg
+    )
+    assert tr._dino is not None
+    cond = _cond(bundle, 2)
+    data = _data()
+    batch = tr.prepare_batch(next(data), cond, jax.random.PRNGKey(0))
+    m = tr.train_step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["DINOLoss"]))
+    # the running center moved off zero after one step
+    c1 = np.asarray(tr.dino_center)
+    assert np.abs(c1).max() > 0
+    batch = tr.prepare_batch(next(data), cond, jax.random.PRNGKey(2))
+    tr.train_step(batch, jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(tr.dino_center), c1)
+
+
+def test_previewer_image_space_lpips_loss(bundle):
+    """The image-space branch generalizes beyond DINOLoss: any needs_images
+    loss (here LPIPS with tiny injected weights) gets VAE-decoded pred/target."""
+    import numpy as _np
+
+    from instantir_tpu.losses.loss_config import LossesConfig, SingleLossConfig
+    from instantir_tpu.losses.lpips import convert_lpips, tiny_lpips_config
+
+    lcfg = tiny_lpips_config()
+    rng = _np.random.default_rng(0)
+    sd = {}
+    in_ch = 3
+    for si, (conv_ids, ch) in enumerate(zip(lcfg.slices, lcfg.channels)):
+        for ci in conv_ids:
+            sd[f"net.slice{si + 1}.{ci}.weight"] = rng.normal(size=(ch, in_ch, 3, 3)).astype(_np.float32) * 0.2
+            sd[f"net.slice{si + 1}.{ci}.bias"] = _np.zeros((ch,), _np.float32)
+            in_ch = ch
+        sd[f"lin{si}.model.1.weight"] = _np.abs(rng.normal(size=(1, ch, 1, 1))).astype(_np.float32)
+    lpips_params = convert_lpips(sd, lcfg)
+
+    losses_cfg = LossesConfig(
+        lcm_losses=[
+            SingleLossConfig(name="HuberLoss", weight=1.0, init_params={"huber_c": 0.001}),
+            SingleLossConfig(name="LPIPSLoss", weight=0.1,
+                             init_params={"params": lpips_params, "config": lcfg}),
+        ]
+    )
+    cfg = PreviewerConfig(
+        output_dir="", max_train_steps=1, train_batch_size=2, resolution=RES,
+        num_ddim_timesteps=10, lr_warmup_steps=0, resume_from_checkpoint=None,
+    )
+    tr = PreviewerTrainer(
+        bundle.unet, bundle.resampler, bundle.vae, bundle.image_encoder, bundle.params, cfg, losses_cfg
+    )
+    batch = tr.prepare_batch(next(_data()), _cond(bundle, 2), jax.random.PRNGKey(0))
+    m = tr.train_step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["LPIPSLoss"]))
+    assert float(m["LPIPSLoss"]) > 0
+
+
+def test_previewer_lcm_visualization(bundle):
+    """LCMVisualization (reference losses/losses.py:99-123): zero-weight dummy
+    loss that makes the trainer log an [lq | gt | prediction] strip every
+    visualize_every_k steps."""
+    from instantir_tpu.losses.loss_config import LossesConfig, SingleLossConfig
+
+    losses_cfg = LossesConfig(
+        lcm_losses=[
+            SingleLossConfig(name="HuberLoss", weight=1.0, init_params={"huber_c": 0.001}),
+            SingleLossConfig(name="LCMVisualization", weight=0.0, visualize_every_k=2),
+        ]
+    )
+    cfg = PreviewerConfig(
+        output_dir="", max_train_steps=2, train_batch_size=2, resolution=RES,
+        num_ddim_timesteps=10, lr_warmup_steps=0, resume_from_checkpoint=None,
+    )
+    tr = PreviewerTrainer(
+        bundle.unet, bundle.resampler, bundle.vae, bundle.image_encoder, bundle.params, cfg, losses_cfg
+    )
+    logged = []
+    tr.tracker.images = lambda step, tag, images: logged.append((step, tag, images.shape))
+    cond = _cond(bundle, 2)
+    data = _data()
+    m = tr.train_step(tr.prepare_batch(next(data), cond, jax.random.PRNGKey(0)), jax.random.PRNGKey(1))
+    assert "_vis_strip" not in m and float(m["LCMVisualization"]) == 0.0
+    assert logged and logged[0][0] == 0 and logged[0][2] == (2, RES, 3 * RES, 3)
+    tr.train_step(tr.prepare_batch(next(data), cond, jax.random.PRNGKey(2)), jax.random.PRNGKey(3))
+    assert len(logged) == 1  # step 1 is off-cadence
