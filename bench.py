@@ -158,6 +158,122 @@ def bench_encoder(res=512):
             "vs_baseline": 0.0}
 
 
+def bench_previewer(res=512):
+    """BASELINE config #3: stage-1 previewer LCM one-step preview at 512² —
+    LQ image → VAE encode → noise @ t=999 → UNet(+LoRA) + LCM step → decode
+    (the previewer-validation path, ``train_previewer_lora.py:98-191``)."""
+    from instantir_tpu.models.vae import scale_latents, unscale_latents
+    from instantir_tpu.pipeline.stage1_sdxl import Stage1SDXLPipeline
+    from instantir_tpu.schedulers.diffusion import add_noise
+
+    unet, _, vae, resampler, dino, schedule = build_models()
+    key = jax.random.PRNGKey(0)
+    lat = res // 8
+    params = {
+        "unet": synth_params(unet, lambda: unet.init(
+            key, jnp.zeros((1, lat, lat, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 1280), jnp.bfloat16),
+            jnp.zeros((1, 6), jnp.bfloat16), ip_hidden_states=jnp.zeros((1, 64, 2048), jnp.bfloat16))),
+        "vae": synth_params(vae, lambda: vae.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))),
+        "resampler": synth_params(resampler, lambda: resampler.init(key, jnp.zeros((1, 257, 1024), jnp.bfloat16))),
+        "image_encoder": synth_params(dino, lambda: dino.init(key, jnp.zeros((1, 224, 224, 3), jnp.bfloat16))),
+    }
+    jax.block_until_ready(params)
+    pipe = Stage1SDXLPipeline(unet, vae, resampler, dino, schedule, params)
+
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(1, res, res, 3)), jnp.float32)
+    cond = {
+        "prompt_embeds": jnp.asarray(rng.normal(size=(1, 77, 2048)) * 0.1, jnp.bfloat16),
+        "pooled_embeds": jnp.asarray(rng.normal(size=(1, 1280)) * 0.1, jnp.bfloat16),
+        "time_ids": jnp.asarray([[res, res, 0, 0, res, res]], jnp.bfloat16),
+    }
+
+    from instantir_tpu.models.dinov2 import preprocess_dinov2
+
+    @jax.jit
+    def encode(params, lq, key):
+        tokens = dino.apply(params["image_encoder"], preprocess_dinov2((lq + 1) / 2).astype(jnp.bfloat16))
+        ip = resampler.apply(params["resampler"], tokens, lora_scale=1.0)
+        z = scale_latents(vae.config, vae.apply(params["vae"], lq, rng=key, sample=True, method=vae.encode))
+        noisy = add_noise(schedule, z.astype(jnp.bfloat16), jax.random.normal(key, z.shape, jnp.float32), jnp.full((1,), 999, jnp.int32))
+        return ip, noisy
+
+    @jax.jit
+    def decode(params, z):
+        return vae.apply(params["vae"], unscale_latents(vae.config, z.astype(jnp.float32)), method=vae.decode)
+
+    def run(seed):
+        ip, noisy = encode(params, lq, jax.random.PRNGKey(seed))
+        preview = pipe.one_step_preview(noisy, 999, cond, ip, lora_scale=1.0)
+        img = decode(params, preview)
+        return float(np.asarray(img[0, 0, 0, 0], dtype=np.float32))
+
+    run(0)
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    dt = min(times)
+    return {"metric": f"previewer LCM one-step preview {res}² (encode+UNet+LCM+decode)",
+            "value": round(1 / dt, 2), "unit": "images/sec", "vs_baseline": 0.0}
+
+
+def bench_sharded(res=1024, steps=30):
+    """BASELINE config #5: batch-N creative restoration sharded over all
+    available devices (params replicated, batch on the ``data`` mesh axis).
+    On this environment's single-chip TPU it degenerates to a 1-device mesh
+    with batch 1; multi-device execution is validated on the virtual CPU mesh
+    (tests/test_sharded_inference.py) and via dryrun_multichip."""
+    from instantir_tpu.parallel.mesh import make_mesh
+    from instantir_tpu.pipeline.instantir import InstantIRPipeline, RestoreConfig
+
+    n = len(jax.devices())
+    batch = n
+    unet, aggregator, vae, resampler, dino, schedule = build_models()
+    key = jax.random.PRNGKey(0)
+    lat = res // 8
+    params = {
+        "unet": synth_params(unet, lambda: unet.init(
+            key, jnp.zeros((1, lat, lat, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 1280), jnp.bfloat16),
+            jnp.zeros((1, 6), jnp.bfloat16), ip_hidden_states=jnp.zeros((1, 64, 2048), jnp.bfloat16))),
+        "aggregator": synth_params(aggregator, lambda: aggregator.init(
+            key, jnp.zeros((1, lat, lat, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, lat, lat, 4), jnp.bfloat16),
+            added_text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
+            added_time_ids=jnp.zeros((1, 6), jnp.bfloat16))),
+        "vae": synth_params(vae, lambda: vae.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))),
+        "resampler": synth_params(resampler, lambda: resampler.init(key, jnp.zeros((1, 257, 1024), jnp.bfloat16))),
+        "image_encoder": synth_params(dino, lambda: dino.init(key, jnp.zeros((1, 224, 224, 3), jnp.bfloat16))),
+    }
+    jax.block_until_ready(params)
+    pipe = InstantIRPipeline(unet, aggregator, vae, resampler, dino, schedule, params)
+    pipe.shard(make_mesh())
+    cfg = RestoreConfig(num_inference_steps=steps, guidance_scale=7.0, preview_start=0.1, control_guidance_end=0.7)
+
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(batch, res, res, 3)), jnp.float32)
+    pe = jnp.asarray(rng.normal(size=(batch, 77, 2048)) * 0.1, jnp.bfloat16)
+    pooled = jnp.asarray(rng.normal(size=(batch, 1280)) * 0.1, jnp.bfloat16)
+
+    def run(seed):
+        image, _ = pipe.restore(lq, pe, pooled, cfg=cfg, key=jax.random.PRNGKey(seed))
+        return float(np.asarray(image[0, 0, 0, 0], dtype=np.float32))
+
+    run(0)
+    times = []
+    for i in range(2):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    ips = batch / min(times)
+    return {"metric": f"sharded restore, batch {batch} over {n} device(s), {res}² {steps}-step",
+            "value": round(ips, 4), "unit": "images/sec",
+            "vs_baseline": round(ips / n / A100_REF_IMG_PER_SEC, 2)}
+
+
 def main():
     config = os.environ.get("BENCH_CONFIG", "full")
     if config == "degradation_vae":
@@ -165,6 +281,12 @@ def main():
         return
     if config == "encoder":
         print(json.dumps(bench_encoder()))
+        return
+    if config == "previewer":
+        print(json.dumps(bench_previewer()))
+        return
+    if config == "sharded":
+        print(json.dumps(bench_sharded()))
         return
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))
@@ -200,6 +322,7 @@ def main():
         guidance_scale=7.0,
         preview_start=0.1,
         control_guidance_end=0.7,
+        decode_dtype=os.environ.get("BENCH_DECODE", "float32"),
     )
 
     rng = np.random.default_rng(0)

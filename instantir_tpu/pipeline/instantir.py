@@ -77,6 +77,10 @@ class RestoreConfig:
     lora_alpha: float = 1.0  # previewer LoRA strength when enabled
     adastep_restore: bool = False
     save_preview_row: bool = False
+    # VAE decode dtype: "float32" (reference force_upcast — its fp16 VAE
+    # overflows) or "bfloat16" (range-safe on TPU: bf16 carries fp32's
+    # exponent; only mantissa precision drops, below 8-bit output rounding)
+    decode_dtype: str = "float32"
     num_train_timesteps: int = 1000
     timestep_spacing: str = "leading"
     steps_offset: int = 1
@@ -144,6 +148,7 @@ class InstantIRPipeline:
         self.image_encoder = image_encoder
         self.schedule = schedule
         self.params = params
+        self.mesh = None
         self._sample_fn_cache: Dict[Any, Any] = {}
         # Every device-side stage is jitted: an eager encoder pass costs
         # hundreds of per-op dispatches (~4-6 s through this environment's
@@ -159,6 +164,32 @@ class InstantIRPipeline:
             static_argnums=2,
         )
         self._jit_decode_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Multi-chip inference (BASELINE config #5): parameters replicated over
+    # the mesh, the image batch sharded on its ``data`` axis — every stage
+    # (encoders, denoise scans, decode) then runs data-parallel with XLA
+    # propagating the shardings. The reference has no multi-device inference
+    # at all (SURVEY §1: "inference is strictly single-device").
+    # ------------------------------------------------------------------
+
+    def shard(self, mesh):
+        """Attach a mesh: replicate params now, shard batches per call."""
+        from instantir_tpu.parallel.mesh import replicate_params
+
+        self.mesh = mesh
+        if mesh is not None:
+            self.params = replicate_params(self.params, mesh)
+            # drop cached uncond tokens computed under the old placement
+            self._uncond_cache_params = None
+        return self
+
+    def _shard_inputs(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from instantir_tpu.parallel.mesh import shard_batch
+
+        return tuple(None if a is None else shard_batch(a, self.mesh) for a in arrays)
 
     # ------------------------------------------------------------------
     # Encoders (run once per call, outside the denoise loop)
@@ -395,6 +426,14 @@ class InstantIRPipeline:
         if key is None:
             key = jax.random.PRNGKey(0)
         b, h, w, _ = lq_images.shape
+        if self.mesh is not None and b % self.mesh.shape["data"]:
+            raise ValueError(f"batch {b} not divisible by mesh data axis {self.mesh.shape['data']}")
+        lq_images, prompt_embeds, pooled_embeds, negative_prompt_embeds, negative_pooled_embeds, reference_latents = (
+            self._shard_inputs(
+                lq_images, prompt_embeds, pooled_embeds, negative_prompt_embeds, negative_pooled_embeds,
+                reference_latents,
+            )
+        )
         key, k_vae, k_init = jax.random.split(key, 3)
 
         # 1. LQ → latent (fp32 VAE encode), used as both init and condition
@@ -452,10 +491,11 @@ class InstantIRPipeline:
         if output_type == "latent":
             return latents, preview_row
 
-        image = self.decode_latents(params, latents)
+        decode_dtype = jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None
+        image = self.decode_latents(params, latents, dtype=decode_dtype)
         previews = None
         if cfg.save_preview_row and preview_row is not None:
-            previews = [self.decode_latents(params, p) for p in preview_row]
+            previews = [self.decode_latents(params, p, dtype=decode_dtype) for p in preview_row]
         if output_type == "np":
             image = np.asarray(image.astype(jnp.float32))
             if previews is not None:

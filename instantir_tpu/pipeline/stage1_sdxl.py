@@ -115,20 +115,28 @@ class Stage1SDXLPipeline:
         return fn
 
     def one_step_preview(self, latents: jnp.ndarray, t: int, cond, ip_tokens, lora_scale: float = 1.0):
-        """The previewer-validation mode: single UNet pass + LCM step."""
-        bsz = latents.shape[0]
-        tb = jnp.full((bsz,), t, jnp.int32)
-        eps = self.unet.apply(
-            self.params["unet"],
-            latents,
-            tb,
-            encoder_hidden_states=cond["prompt_embeds"],
-            added_text_embeds=cond["pooled_embeds"],
-            added_time_ids=cond["time_ids"],
-            ip_hidden_states=ip_tokens,
-            lora_scale=lora_scale,
-        )
-        return lcm_single_step(self.schedule, eps, tb, latents)
+        """The previewer-validation mode: single UNet pass + LCM step (jitted,
+        cached per lora_scale — an eager SDXL UNet pass costs seconds of
+        per-op dispatch through this environment's TPU relay)."""
+        key = ("one_step_preview", float(lora_scale))
+        if key not in self._fns:
+
+            def preview(params, latents, t, cond, ip_tokens):
+                tb = jnp.full((latents.shape[0],), t, jnp.int32)
+                eps = self.unet.apply(
+                    params["unet"],
+                    latents,
+                    tb,
+                    encoder_hidden_states=cond["prompt_embeds"],
+                    added_text_embeds=cond["pooled_embeds"],
+                    added_time_ids=cond["time_ids"],
+                    ip_hidden_states=ip_tokens,
+                    lora_scale=lora_scale,
+                )
+                return lcm_single_step(self.schedule, eps, tb, latents)
+
+            self._fns[key] = jax.jit(preview)
+        return self._fns[key](self.params, latents, jnp.asarray(t, jnp.int32), cond, ip_tokens)
 
     def __call__(
         self,

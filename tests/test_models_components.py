@@ -148,3 +148,25 @@ def test_aggregator_feeds_unet(aggregator_setup):
     uparams = unet.init(jax.random.PRNGKey(2), **uin)
     out = unet.apply(uparams, **uin, down_block_additional_residuals=down, mid_block_additional_residual=mid)
     assert out.shape == (2, 16, 16, 4)
+
+
+def test_bf16_vae_decode_close_to_fp32():
+    """The bf16 decode fast path (RestoreConfig.decode_dtype) must stay within
+    8-bit output rounding of the fp32 reference decode — bf16 keeps fp32's
+    exponent so the fp16-overflow rationale for force_upcast doesn't apply."""
+    import numpy as np
+
+    from instantir_tpu.models.vae import AutoencoderKL, tiny_vae_config
+
+    cfg = tiny_vae_config()
+    vae32 = AutoencoderKL(cfg, dtype=jnp.float32)
+    vae16 = AutoencoderKL(cfg, dtype=jnp.bfloat16)
+    params = vae32.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(2, 16, 16, 4)), jnp.float32)
+    img32 = np.asarray(vae32.apply(params, z, method=vae32.decode))
+    img16 = np.asarray(vae16.apply(params, z, method=vae16.decode), dtype=np.float32)
+    mse = np.mean((img32 - img16) ** 2)
+    span = img32.max() - img32.min()
+    psnr = 10 * np.log10(span**2 / max(mse, 1e-12))
+    assert psnr > 40, f"bf16 decode PSNR {psnr:.1f} dB"
