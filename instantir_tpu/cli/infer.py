@@ -81,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--creative_start", type=float, default=1.0, help="maps to control_guidance_end")
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
+    p.add_argument("--min_side", type=int, default=768, help="resize_img min side (infer.py:31-66)")
+    p.add_argument("--max_side", type=int, default=1024)
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--prompt", type=str, default=None)
@@ -142,7 +144,8 @@ def main(argv: Optional[List[str]] = None):
         imgs, out_sizes = [], []
         for f in batch_files:
             im, out_size = resize_img(Image.open(os.path.join(base_dir, f)).convert("RGB"),
-                                      width=args.width, height=args.height)
+                                      width=args.width, height=args.height,
+                                      min_side=args.min_side, max_side=args.max_side)
             imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
             out_sizes.append(out_size)
         lq = jnp.asarray(np.stack(imgs))

@@ -188,6 +188,25 @@ def _data_iter(args):
     return ds.batches(batch_size=args.train_batch_size, gt_size=args.resolution)
 
 
+def _export_instantir_config(pipe, output_dir: str):
+    """Write instantir_config.json next to exported artifacts so
+    load_instantir_pipeline can rebuild the exact architecture (the reference
+    hardcodes these dims at infer.py:269-273)."""
+    import dataclasses
+    import json
+
+    path = os.path.join(output_dir, "instantir_config.json")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "lora_rank": pipe.unet.config.lora_rank,
+                "resampler": dataclasses.asdict(pipe.resampler.config),
+            },
+            f,
+            indent=2,
+        )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from instantir_tpu.losses import load_losses_config
@@ -222,6 +241,7 @@ def main(argv=None):
         )
         trainer.run(data, cond)
         trainer.export_adapter(os.path.join(args.output_dir, "adapter_ckpt.pt"))
+        _export_instantir_config(pipe, args.output_dir)
     elif args.stage == "previewer":
         from instantir_tpu.train.previewer_lora import PreviewerConfig, PreviewerTrainer
 
@@ -234,6 +254,7 @@ def main(argv=None):
         )
         trainer.run(data, cond)
         trainer.export_lora(os.path.join(args.output_dir, "previewer_lora_weights.bin"))
+        _export_instantir_config(pipe, args.output_dir)
     else:
         from instantir_tpu.train.stage2_aggregator import Stage2Config, Stage2Trainer
 
@@ -248,6 +269,7 @@ def main(argv=None):
         )
         trainer.run(data, cond)
         trainer.export_aggregator(os.path.join(args.output_dir, "aggregator.pt"))
+        _export_instantir_config(pipe, args.output_dir)
 
 
 if __name__ == "__main__":

@@ -251,3 +251,53 @@ def export_ip_adapter(tree: Dict[str, Any], config) -> Dict[str, np.ndarray]:
                 out[f"{idx}.{ln}.linear.weight"] = np.ascontiguousarray(np.asarray(base["kernel"]).T)
                 out[f"{idx}.{ln}.linear.bias"] = np.asarray(base["bias"])
     return out
+
+
+def export_clip_text(tree: Dict[str, Any], config) -> Dict[str, np.ndarray]:
+    """CLIP text tower → HF transformers naming (inverse of
+    ``torch_to_flax.convert_clip_text``)."""
+    out: Dict[str, np.ndarray] = {}
+    p = tree["params"]
+    p0 = "text_model."
+    out[f"{p0}embeddings.token_embedding.weight"] = np.asarray(p["token_embedding"]["embedding"])
+    out[f"{p0}embeddings.position_embedding.weight"] = np.asarray(p["position_embedding"])
+    _inv_norm(out, f"{p0}final_layer_norm", p["final_norm"])
+    for i in range(config.num_layers):
+        n = p[f"layers_{i}"]
+        q = f"{p0}encoder.layers.{i}"
+        _inv_norm(out, f"{q}.layer_norm1", n["norm1"])
+        _inv_linear(out, f"{q}.self_attn.q_proj", n["q"])
+        _inv_linear(out, f"{q}.self_attn.k_proj", n["k"])
+        _inv_linear(out, f"{q}.self_attn.v_proj", n["v"])
+        _inv_linear(out, f"{q}.self_attn.out_proj", n["proj"])
+        _inv_norm(out, f"{q}.layer_norm2", n["norm2"])
+        _inv_linear(out, f"{q}.mlp.fc1", n["fc1"])
+        _inv_linear(out, f"{q}.mlp.fc2", n["fc2"])
+    if "text_projection" in p:
+        out["text_projection.weight"] = np.ascontiguousarray(np.asarray(p["text_projection"]["kernel"]).T)
+    return out
+
+
+def export_dinov2(tree: Dict[str, Any], config) -> Dict[str, np.ndarray]:
+    """DINOv2 tower → HF transformers naming (inverse of
+    ``torch_to_flax.convert_dinov2``)."""
+    out: Dict[str, np.ndarray] = {}
+    p = tree["params"]
+    out["embeddings.cls_token"] = np.asarray(p["cls_token"])
+    out["embeddings.position_embeddings"] = np.asarray(p["pos_embed"])
+    _inv_conv(out, "embeddings.patch_embeddings.projection", p["patch_embed"])
+    _inv_norm(out, "layernorm", p["norm"])
+    for i in range(config.num_layers):
+        n = p[f"blocks_{i}"]
+        q = f"encoder.layer.{i}"
+        _inv_norm(out, f"{q}.norm1", n["norm1"])
+        _inv_linear(out, f"{q}.attention.attention.query", n["q"])
+        _inv_linear(out, f"{q}.attention.attention.key", n["k"])
+        _inv_linear(out, f"{q}.attention.attention.value", n["v"])
+        _inv_linear(out, f"{q}.attention.output.dense", n["proj"])
+        out[f"{q}.layer_scale1.lambda1"] = np.asarray(n["layerscale1"])
+        _inv_norm(out, f"{q}.norm2", n["norm2"])
+        _inv_linear(out, f"{q}.mlp.fc1", n["fc1"])
+        _inv_linear(out, f"{q}.mlp.fc2", n["fc2"])
+        out[f"{q}.layer_scale2.lambda1"] = np.asarray(n["layerscale2"])
+    return out

@@ -73,7 +73,9 @@ def t_lora_conv(sd: Dict[str, np.ndarray], prefix: str, bias: bool = True) -> Di
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load .safetensors / .bin / .pt into numpy."""
+    """Load .safetensors / .bin / .pt into a FLAT numpy dict. Nested payloads
+    (e.g. ``adapter.pt`` = {"image_proj": {...}, "ip_adapter": {...}},
+    ``train_stage1_adapter.py:753-785``) flatten with dotted prefixes."""
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
 
@@ -83,7 +85,17 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+    def flatten(d: Dict, prefix: str, out: Dict[str, np.ndarray]):
+        for k, v in d.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict):
+                flatten(v, key + ".", out)
+            else:
+                out[key] = v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+        return out
+
+    return flatten(sd, "", {})
 
 
 # ---------------------------------------------------------------------------
@@ -342,10 +354,24 @@ def attn2_paths(config) -> List[Tuple[str, ...]]:
     return paths
 
 
-def merge_ip_adapter(unet_tree: Dict[str, Any], ip_sd: Dict[str, np.ndarray], config) -> Dict[str, Any]:
+def merge_ip_adapter(
+    unet_tree: Dict[str, Any], ip_sd: Dict[str, np.ndarray], config, strict: bool = True
+) -> Dict[str, Any]:
     """Merge ``adapter.pt["ip_adapter"]`` (keys ``{2i+1}.to_k_ip.weight`` …,
     numbered over all processors where attn1 precedes attn2) into the UNet
-    tree's attn2 modules."""
+    tree's attn2 modules.
+
+    Strict by default (like the reference's ``strict=True`` state-dict loads,
+    ``module/ip_adapter/utils.py:56-59``): a missing expected key raises
+    (KeyError below), and leftover checkpoint keys that map to no module
+    raise too — a renamed/mis-indexed processor must abort, not silently
+    drop weights."""
+    consumed = set()
+
+    def take(key: str) -> np.ndarray:
+        consumed.add(key)
+        return ip_sd[key]
+
     paths = attn2_paths(config)
     params = unet_tree["params"]
     for n, path in enumerate(paths):
@@ -362,12 +388,18 @@ def merge_ip_adapter(unet_tree: Dict[str, Any], ip_sd: Dict[str, np.ndarray], co
             if bias is not None:
                 base["bias"] = bias
 
-        set_base(node.setdefault("to_k_ip", {}), ip_sd[f"{prefix}.to_k_ip.weight"])
-        set_base(node.setdefault("to_v_ip", {}), ip_sd[f"{prefix}.to_v_ip.weight"])
+        set_base(node.setdefault("to_k_ip", {}), take(f"{prefix}.to_k_ip.weight"))
+        set_base(node.setdefault("to_v_ip", {}), take(f"{prefix}.to_v_ip.weight"))
         if f"{prefix}.ln_k_ip.linear.weight" in ip_sd:
             for ln in ("ln_k_ip", "ln_v_ip"):
                 dst = node.setdefault(ln, {}).setdefault("linear", {})
-                set_base(dst, ip_sd[f"{prefix}.{ln}.linear.weight"], ip_sd[f"{prefix}.{ln}.linear.bias"])
+                set_base(dst, take(f"{prefix}.{ln}.linear.weight"), take(f"{prefix}.{ln}.linear.bias"))
+    leftover = sorted(set(ip_sd) - consumed)
+    if leftover and strict:
+        raise ValueError(
+            f"{len(leftover)} ip-adapter tensors map to no attention module "
+            f"(first: {leftover[:5]}) — pass strict=False to allow a partial load"
+        )
     return unet_tree
 
 
@@ -509,12 +541,17 @@ _RESAMPLER_LORA_RE = re.compile(
 )
 
 
-def merge_resampler_lora(resampler_tree: Dict[str, Any], lora_sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, Any], int]:
+def merge_resampler_lora(
+    resampler_tree: Dict[str, Any], lora_sd: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, Any], int, set]:
     """Merge the resampler's share of a previewer LoRA file — in the torch
     module tree the resampler lives at ``unet.encoder_hid_proj.image_projection_layers.0``
     (``PREVIEWER_LORA_MODULES`` entries "to_q"/"to_kv"/"0.to_out",
-    ``pipelines/sdxl_instantir.py:141-144``)."""
-    merged = 0
+    ``pipelines/sdxl_instantir.py:141-144``).
+
+    Returns (tree, merged_count, merged_key_set) so the caller can account
+    for every LoRA tensor in the file."""
+    merged: set = set()
     params = resampler_tree["params"]
     for key, val in lora_sd.items():
         m = _RESAMPLER_LORA_RE.match(key)
@@ -525,17 +562,21 @@ def merge_resampler_lora(resampler_tree: Dict[str, Any], lora_sd: Dict[str, np.n
         if node is None:
             continue
         node.setdefault(which, {})["kernel"] = np.ascontiguousarray(val.T)
-        merged += 1
-    return resampler_tree, merged
+        merged.add(key)
+    return resampler_tree, len(merged), merged
 
 
 def merge_previewer_lora(
     unet_tree: Dict[str, Any], lora_sd: Dict[str, np.ndarray], config
-) -> Tuple[Dict[str, Any], int]:
+) -> Tuple[Dict[str, Any], int, List[str]]:
     """Merge diffusers-format LoRA weights into the UNet tree's lora_a/lora_b
     leaves. Torch module paths map to flax paths by the same renaming used in
-    ``convert_unet``. Returns (tree, merged_pair_count)."""
+    ``convert_unet``. Returns (tree, merged_count, unmatched_lora_keys) —
+    the caller must reconcile unmatched keys (some legitimately belong to the
+    resampler, see ``merge_resampler_lora``) and abort on a real shortfall
+    like the reference's strict loads (``sdxl_instantir.py:386-394``)."""
     merged = 0
+    unmatched: List[str] = []
     params = unet_tree["params"]
 
     def to_flax_path(torch_path: str) -> Optional[List[str]]:
@@ -567,13 +608,14 @@ def merge_previewer_lora(
                 break
             node = node[part]
         if not ok or which not in node:
+            unmatched.append(key)
             continue
         if val.ndim == 4:
             node[which]["kernel"] = np.ascontiguousarray(np.transpose(val, (2, 3, 1, 0)))
         else:
             node[which]["kernel"] = np.ascontiguousarray(val.T)
         merged += 1
-    return unet_tree, merged
+    return unet_tree, merged, unmatched
 
 
 # ---------------------------------------------------------------------------

@@ -173,6 +173,6 @@ def test_previewer_lora_merge(tiny_trees):
                 wipe(v)
 
     wipe(wiped["params"])
-    merged, count = t2f.merge_previewer_lora(wiped, lora_sd, ucfg)
+    merged, count, _ = t2f.merge_previewer_lora(wiped, lora_sd, ucfg)
     assert count == len(lora_sd)
     _tree_equal(merged["params"], np_tree["params"])

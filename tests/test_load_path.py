@@ -55,10 +55,44 @@ def test_base_checkpoint_completes_and_lora_merges(setup):
     lora_sd = {f"unet.{k}": v for k, v in f2t.export_unet(jax.tree_util.tree_map(np.asarray, full_tree)).items() if "lora_" in k}
     # make the donor B matrices nonzero so the merge is observable
     lora_sd = {k: (v + 0.05 if "lora_B" in k else v) for k, v in lora_sd.items()}
-    tree, n = t2f.merge_previewer_lora(tree, lora_sd, ucfg)
+    tree, n, _ = t2f.merge_previewer_lora(tree, lora_sd, ucfg)
     assert n == len(lora_sd) and n > 0
     out2 = unet.apply(tree, **inputs, lora_scale=1.0)
     assert np.abs(np.asarray(out2) - np.asarray(out0)).max() > 1e-5
+
+
+def test_renamed_lora_key_is_reported_unmatched(setup):
+    """Strict load accounting (reference strictness: sdxl_instantir.py:386-394):
+    a renamed LoRA key must surface as unmatched instead of silently dropping."""
+    ucfg, unet, inputs, shapes, full_tree = setup
+    tree = t2f.convert_unet(_base_only_sd(full_tree), ucfg)
+    tree = fill_missing_leaves(tree, shapes, np.random.default_rng(0))
+    lora_sd = {
+        f"unet.{k}": v
+        for k, v in f2t.export_unet(jax.tree_util.tree_map(np.asarray, full_tree)).items()
+        if "lora_" in k
+    }
+    good = len(lora_sd)
+    # simulate a diffusers rename: one key moves to a module that doesn't exist
+    key = sorted(lora_sd)[0]
+    lora_sd["unet.down_blocks.0.resnets.0.conv1_renamed.lora_A.weight"] = lora_sd.pop(key)
+    tree, n, unmatched = t2f.merge_previewer_lora(tree, lora_sd, ucfg)
+    assert n == good - 1
+    assert unmatched == ["unet.down_blocks.0.resnets.0.conv1_renamed.lora_A.weight"]
+
+
+def test_ip_adapter_merge_strict_on_leftover_keys(setup):
+    ucfg, unet, inputs, shapes, full_tree = setup
+    ip_sd = f2t.export_ip_adapter(jax.tree_util.tree_map(np.asarray, full_tree), ucfg)
+    tree = t2f.convert_unet(_base_only_sd(full_tree), ucfg)
+    tree = fill_missing_leaves(tree, shapes, np.random.default_rng(0))
+    # a mis-indexed processor key maps nowhere → strict merge aborts
+    bad = dict(ip_sd)
+    bad["999.to_k_ip.weight"] = next(iter(ip_sd.values()))
+    with pytest.raises(ValueError):
+        t2f.merge_ip_adapter(tree, bad, ucfg, strict=True)
+    # opt-out allows the partial load
+    t2f.merge_ip_adapter(tree, bad, ucfg, strict=False)
 
 
 def test_resampler_lora_routing(rng):
@@ -82,7 +116,7 @@ def test_resampler_lora_routing(rng):
             lora_sd[f"unet.encoder_hid_proj.image_projection_layers.0.layers.{i}.0.{tgt}.lora_B.weight"] = (
                 np.asarray(node["lora_b"]["kernel"]).T + 0.05
             )
-    tree, n = t2f.merge_resampler_lora(tree, lora_sd)
+    tree, n, _ = t2f.merge_resampler_lora(tree, lora_sd)
     assert n == len(lora_sd)
     out_off = res.apply(tree, x, lora_scale=0.0)
     out_on = res.apply(tree, x, lora_scale=1.0)
