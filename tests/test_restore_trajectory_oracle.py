@@ -1,0 +1,450 @@
+"""4-step restore trajectory vs a hand-assembled torch loop (VERDICT r1 #1).
+
+``InstantIRPipeline.restore`` (phase-partitioned lax.scan sampler) is compared
+latent-for-latent against an independently written torch loop that follows the
+reference hot loop step by step (``pipelines/sdxl_instantir.py:1497-1666``):
+
+  step 0 (mode A): controlnet on, previewer off → preview := LQ latent (:1582)
+  steps 1-2 (mode B): previewer UNet (LoRA merged) + LCM step (:1545-1561)
+  step 3 (mode C): controlnet off → plain SDXL step
+
+with CFG 7, TA-IP attention in every cross-attn, aggregator residual
+injection, and DDPM stochastic steps. The torch models are written here from
+diffusers/reference semantics at the tiny config; weights are loaded straight
+from the flax tree (previewer LoRA merged analytically into the torch
+weights). DDPM/LCM math is re-derived in torch from the reference formulas
+(``schedulers/lcm_single_step_scheduler.py:401-489``, diffusers DDPMScheduler
+``fixed_small`` posterior). The pipeline's PRNG draws (VAE posterior, init
+noise, one DDPM noise per step) are replicated key-for-key, so latents must
+match to fp32 accumulation error.
+
+VAE-encode parity, the DINOv2 tower, and the Resampler are each proven in
+their own oracle tests — here their jax outputs feed both loops identically.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from instantir_tpu.models.dinov2 import tiny_dinov2_config
+from instantir_tpu.models.resampler import tiny_resampler_config
+from instantir_tpu.models.unet import tiny_unet_config
+from instantir_tpu.models.vae import tiny_vae_config
+from instantir_tpu.pipeline.factory import build_pipeline
+from instantir_tpu.pipeline.instantir import InstantIRPipeline, RestoreConfig
+from instantir_tpu.schedulers.diffusion import ddpm_inference_timesteps, ddpm_prev_timesteps
+
+
+# ---------------------------------------------------------------------------
+# weight loading: flax tree → torch tensors (LoRA merged analytically)
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+def _base(node):
+    """LoRA-wrapped nodes keep weights under "base"; plain Dense/Conv nodes
+    (e.g. the Aggregator, which carries no LoRA) hold them directly."""
+    return node["base"] if "base" in node else node
+
+
+def _lin_w(node, lora=0.0, alpha=1.0):
+    """LoRADense → merged torch weight [out, in]."""
+    w = np.asarray(_base(node)["kernel"], np.float32)
+    if lora and "lora_a" in node:
+        a = np.asarray(node["lora_a"]["kernel"], np.float32)  # [in, r]
+        b = np.asarray(node["lora_b"]["kernel"], np.float32)  # [r, out]
+        w = w + lora * (alpha / a.shape[-1]) * (a @ b)
+    return _t(w.T)
+
+
+def _lin_b(node):
+    return _t(_base(node)["bias"]) if "bias" in _base(node) else None
+
+
+def _conv_w(node, lora=0.0, alpha=1.0):
+    """LoRAConv → merged torch weight [out, in, kh, kw]."""
+    w = np.asarray(_base(node)["kernel"], np.float32)  # [kh, kw, in, out]
+    if lora and "lora_a" in node:
+        a = np.asarray(node["lora_a"]["kernel"], np.float32)  # [kh, kw, in, r]
+        b = np.asarray(node["lora_b"]["kernel"], np.float32)  # [1, 1, r, out]
+        w = w + lora * (alpha / a.shape[-1]) * np.einsum("hwir,ro->hwio", a, b[0, 0])
+    return _t(np.transpose(w, (3, 2, 0, 1)))
+
+
+def _gn(node):
+    return _t(node["norm"]["scale"]), _t(node["norm"]["bias"])
+
+
+def _ln(node):
+    return _t(node["scale"]), _t(node["bias"])
+
+
+# ---------------------------------------------------------------------------
+# torch mini-UNet following diffusers semantics at an arbitrary config
+# ---------------------------------------------------------------------------
+
+
+class TOracle:
+    """Functional torch forward over weights pulled from the flax tree.
+    ``lora`` > 0 merges the previewer LoRA into every LoRA-capable weight."""
+
+    def __init__(self, cfg, tree, lora=0.0, alpha=1.0, with_ip=True):
+        self.cfg = cfg
+        self.p = tree["params"]
+        self.lora = lora
+        self.alpha = alpha
+        self.with_ip = with_ip
+
+    # --- primitives -------------------------------------------------------
+    def lin(self, node, x):
+        y = x @ _lin_w(node, self.lora, self.alpha).T
+        b = _lin_b(node)
+        return y + b if b is not None else y
+
+    def conv(self, node, x, stride=1, padding=1):
+        return torch.nn.functional.conv2d(
+            x, _conv_w(node, self.lora, self.alpha), _lin_b(node), stride=stride, padding=padding
+        )
+
+    def gn(self, node, x, silu=False, eps=1e-5):
+        s, b = _gn(node)
+        y = torch.nn.functional.group_norm(x, self.cfg.norm_num_groups, s, b, eps=eps)
+        return torch.nn.functional.silu(y) if silu else y
+
+    def layer_norm(self, node, x, eps=1e-5):
+        s, b = _ln(node)
+        return torch.nn.functional.layer_norm(x, (x.shape[-1],), s, b, eps=eps)
+
+    def time_embedding(self, node, x):
+        h = torch.nn.functional.silu(self.lin(node["linear_1"], x))
+        return self.lin(node["linear_2"], h)
+
+    def sinusoid(self, t, dim):
+        half = dim // 2
+        exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half
+        emb = t[:, None].float() * torch.exp(exponent)[None]
+        return torch.cat([torch.cos(emb), torch.sin(emb)], dim=-1)
+
+    # --- attention (TA-IP semantics per the existing attention oracle) ----
+    def _sdpa(self, q, k, v, heads):
+        b, n, c = q.shape
+        d = c // heads
+
+        def hf(t):
+            return t.view(b, -1, heads, d).transpose(1, 2)
+
+        out = torch.nn.functional.scaled_dot_product_attention(hf(q), hf(k), hf(v))
+        return out.transpose(1, 2).reshape(b, n, c)
+
+    def attention(self, node, x, heads, ctx=None, ip=None, temb=None):
+        ctx = x if ctx is None else ctx
+        q = self.lin(node["to_q"], x)
+        k = self.lin(node["to_k"], ctx)
+        v = self.lin(node["to_v"], ctx)
+        out = self._sdpa(q, k, v, heads)
+        if ip is not None and "to_k_ip" in node:
+            def ada(h, ln_node):
+                emb = self.lin(ln_node["linear"], torch.nn.functional.silu(temb))
+                shift, scale = emb[:, None].chunk(2, dim=-1)
+                normed = torch.nn.functional.layer_norm(h, (h.shape[-1],), eps=1e-6)
+                return normed * (1 + scale) + shift
+
+            ip_k = ada(self.lin(node["to_k_ip"], ip), node["ln_k_ip"])
+            ip_v = ada(self.lin(node["to_v_ip"], ip), node["ln_v_ip"])
+            out = out + self._sdpa(q, ip_k, ip_v, heads)
+        return self.lin(node["to_out"], out)
+
+    def transformer_block(self, node, x, heads, ctx, ip, temb, has_cross):
+        x = x + self.attention(node["attn1"], self.layer_norm(node["norm1"], x), heads)
+        if has_cross:
+            x = x + self.attention(node["attn2"], self.layer_norm(node["norm2"], x), heads, ctx, ip, temb)
+        h = self.lin(node["ff"]["proj"], self.layer_norm(node["norm3"], x))
+        a, gate = h.chunk(2, dim=-1)
+        h = a * torch.nn.functional.gelu(gate)
+        return x + self.lin(node["ff"]["out"], h)
+
+    def transformer2d(self, node, x, heads, n_layers, ctx, ip, temb, has_cross):
+        b, c, hh, ww = x.shape
+        res = x
+        y = self.gn(node["norm"], x, eps=1e-6)
+        y = y.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        y = self.lin(node["proj_in"], y)
+        for i in range(n_layers):
+            y = self.transformer_block(node[f"blocks_{i}"], y, heads, ctx, ip, temb, has_cross)
+        y = self.lin(node["proj_out"], y)
+        return y.reshape(b, hh, ww, c).permute(0, 3, 1, 2) + res
+
+    def resnet(self, node, x, temb):
+        h = self.conv(node["conv1"], self.gn(node["norm1"], x, silu=True))
+        h = h + self.lin(node["time_emb_proj"], torch.nn.functional.silu(temb))[:, :, None, None]
+        h = self.conv(node["conv2"], self.gn(node["norm2"], h, silu=True))
+        if "conv_shortcut" in node:
+            x = self.conv(node["conv_shortcut"], x, padding=0)
+        return x + h
+
+    # --- the UNet forward (diffusers SDXL wiring) -------------------------
+    def emb(self, t, text_embeds, time_ids):
+        cfg = self.cfg
+        t_emb = self.sinusoid(t, cfg.block_out_channels[0])
+        emb = self.time_embedding(self.p["time_embedding"], t_emb)
+        te = self.sinusoid(time_ids.flatten(), cfg.addition_time_embed_dim).reshape(text_embeds.shape[0], -1)
+        emb = emb + self.time_embedding(self.p["add_embedding"], torch.cat([text_embeds, te], dim=-1))
+        return emb
+
+    def unet(self, sample, t, ctx, text_embeds, time_ids, ip=None, down_res=None, mid_res=None):
+        cfg, p = self.cfg, self.p
+        emb = self.emb(t, text_embeds, time_ids)
+        x = self.conv(p["conv_in"], sample)
+        skips = [x]
+        for i, btype in enumerate(cfg.down_block_types):
+            blk = p[f"down_blocks_{i}"]
+            is_final = i == len(cfg.down_block_types) - 1
+            for j in range(cfg.layers_per_block):
+                x = self.resnet(blk[f"resnets_{j}"], x, emb)
+                if btype == "CrossAttnDownBlock2D":
+                    x = self.transformer2d(
+                        blk[f"attentions_{j}"], x, cfg.num_attention_heads[i],
+                        cfg.transformer_layers_per_block[i], ctx, ip, emb, True,
+                    )
+                skips.append(x)
+            if not is_final:
+                x = self.conv(blk["downsamplers_0"]["conv"], x, stride=2)
+                skips.append(x)
+        if down_res is not None:
+            skips = [s + r for s, r in zip(skips, down_res)]
+        mid = p["mid_block"]
+        x = self.resnet(mid["resnets_0"], x, emb)
+        x = self.transformer2d(
+            mid["attentions_0"], x, cfg.num_attention_heads[-1],
+            cfg.transformer_layers_per_block[-1], ctx, ip, emb, True,
+        )
+        x = self.resnet(mid["resnets_1"], x, emb)
+        if mid_res is not None:
+            x = x + mid_res
+        rev_heads = tuple(reversed(cfg.num_attention_heads))
+        rev_tl = tuple(reversed(cfg.transformer_layers_per_block))
+        for i, btype in enumerate(cfg.up_block_types):
+            blk = p[f"up_blocks_{i}"]
+            is_final = i == len(cfg.up_block_types) - 1
+            for j in range(cfg.layers_per_block + 1):
+                x = torch.cat([x, skips.pop()], dim=1)
+                x = self.resnet(blk[f"resnets_{j}"], x, emb)
+                if btype == "CrossAttnUpBlock2D":
+                    x = self.transformer2d(
+                        blk[f"attentions_{j}"], x, rev_heads[i], rev_tl[i], ctx, ip, emb, True
+                    )
+            if not is_final:
+                x = torch.nn.functional.interpolate(x, scale_factor=2.0, mode="nearest")
+                x = self.conv(blk["upsamplers_0"]["conv"], x)
+        x = self.gn(p["conv_norm_out"], x, silu=True)
+        return self.conv(p["conv_out"], x)
+
+    # --- the aggregator forward (module/aggregator.py:888-960) ------------
+    def aggregator(self, sample, t, controlnet_cond, text_embeds, time_ids):
+        cfg, p = self.cfg, self.p
+        emb = self.emb(t, text_embeds, time_ids)
+        cond_latent = self.conv(p["conv_in"], sample)
+        ref_latent = self.conv(p["ref_conv_in"], controlnet_cond)
+        x = torch.cat([cond_latent, ref_latent], dim=-2)
+        res = [x]
+        for i, btype in enumerate(cfg.down_block_types):
+            blk = p[f"down_blocks_{i}"]
+            is_final = i == len(cfg.down_block_types) - 1
+            for j in range(cfg.layers_per_block):
+                x = self.resnet(blk[f"resnets_{j}"], x, emb)
+                if btype == "CrossAttnDownBlock2D":
+                    x = self.transformer2d(
+                        blk[f"attentions_{j}"], x, cfg.num_attention_heads[i],
+                        cfg.transformer_layers_per_block[i], None, None, emb, False,
+                    )
+                res.append(x)
+            if not is_final:
+                x = self.conv(blk["downsamplers_0"]["conv"], x, stride=2)
+                res.append(x)
+        mid = p["mid_block"]
+        x = self.resnet(mid["resnets_0"], x, emb)
+        x = self.transformer2d(
+            mid["attentions_0"], x, cfg.num_attention_heads[-1],
+            cfg.transformer_layers_per_block[-1], None, None, emb, False,
+        )
+        x = self.resnet(mid["resnets_1"], x, emb)
+
+        def sft(node, r):
+            # SFT head (module/aggregator.py:51-90) + zero conv
+            h = r.shape[2]
+            c, f = r[:, :, : h // 2], r[:, :, h - h // 2 :]
+            actv = torch.nn.functional.silu(
+                torch.nn.functional.conv2d(c, _t(np.transpose(np.asarray(node["mlp_shared"]["kernel"]), (3, 2, 0, 1))),
+                                           _t(node["mlp_shared"]["bias"]), padding=1)
+            )
+            gamma = torch.nn.functional.conv2d(actv, _t(np.transpose(np.asarray(node["mul"]["kernel"]), (3, 2, 0, 1))),
+                                               _t(node["mul"]["bias"]), padding=1)
+            beta = torch.nn.functional.conv2d(actv, _t(np.transpose(np.asarray(node["add"]["kernel"]), (3, 2, 0, 1))),
+                                              _t(node["add"]["bias"]), padding=1)
+            h_mod = f * (gamma + 1) + beta
+            return torch.nn.functional.conv2d(
+                h_mod, _t(np.transpose(np.asarray(node["zero_conv"]["kernel"]), (3, 2, 0, 1))),
+                _t(node["zero_conv"]["bias"]),
+            )
+
+        downs = [sft(p[f"controlnet_down_blocks_{i}"], r) for i, r in enumerate(res)]
+        mid_out = sft(p["controlnet_mid_block"], x)
+        return downs, mid_out
+
+
+# ---------------------------------------------------------------------------
+# scheduler math re-derived in torch (reference formulas)
+# ---------------------------------------------------------------------------
+
+
+def _alphas_cumprod(T=1000, b0=0.00085, b1=0.012):
+    betas = np.linspace(b0**0.5, b1**0.5, T, dtype=np.float64) ** 2
+    return torch.from_numpy(np.cumprod(1.0 - betas)).float()
+
+
+def _lcm_step(abar, eps, t, x, timestep_scaling=10.0, sigma_data=0.5):
+    """LCMSingleStepScheduler.step (:421-489): denoised = c_out·x0 + c_skip·x."""
+    a = abar[t].view(-1, 1, 1, 1)
+    x0 = (x - torch.sqrt(1 - a) * eps) / torch.sqrt(a)
+    st = t.float() * timestep_scaling
+    c_skip = sigma_data**2 / (st**2 + sigma_data**2)
+    c_out = st / torch.sqrt(st**2 + sigma_data**2)
+    return c_out.view(-1, 1, 1, 1) * x0 + c_skip.view(-1, 1, 1, 1) * x
+
+
+def _ddpm_step(abar, eps, t, prev_t, x, noise):
+    """diffusers DDPMScheduler.step, variance_type=fixed_small, no clipping."""
+    a_t = abar[t].view(-1, 1, 1, 1)
+    a_prev = torch.where(prev_t >= 0, abar[prev_t.clamp(min=0)], torch.ones(prev_t.shape)).view(-1, 1, 1, 1)
+    alpha = a_t / a_prev
+    beta = 1 - alpha
+    x0 = (x - torch.sqrt(1 - a_t) * eps) / torch.sqrt(a_t)
+    coef0 = torch.sqrt(a_prev) * beta / (1 - a_t)
+    coefc = torch.sqrt(alpha) * (1 - a_prev) / (1 - a_t)
+    mean = coef0 * x0 + coefc * x
+    var = torch.clamp(beta * (1 - a_prev) / (1 - a_t), min=1e-20)
+    sigma = torch.where(t.view(-1, 1, 1, 1) > 0, torch.sqrt(var), torch.zeros_like(var))
+    return mean + sigma * noise
+
+
+# ---------------------------------------------------------------------------
+# the test
+# ---------------------------------------------------------------------------
+
+
+def test_restore_trajectory_matches_torch_loop():
+    RES, B, STEPS = 32, 2, 4
+    ucfg = tiny_unet_config(with_ip=True, lora_rank=4)
+    rcfg = tiny_resampler_config(output_dim=ucfg.cross_attention_dim, lora_rank=2)
+    bundle = build_pipeline(
+        ucfg, tiny_vae_config(), rcfg, tiny_dinov2_config(), jax.random.PRNGKey(0), image_size=RES
+    )
+    pipe = InstantIRPipeline(
+        bundle.unet, bundle.aggregator, bundle.vae, bundle.resampler, bundle.image_encoder,
+        bundle.schedule, bundle.params,
+    )
+    cfg = RestoreConfig(
+        num_inference_steps=STEPS, guidance_scale=7.0, preview_start=0.25, control_guidance_end=0.75,
+        save_preview_row=True,
+    )
+
+    rng = np.random.default_rng(5)
+    cross = ucfg.cross_attention_dim
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(B, RES, RES, 3)), jnp.float32)
+    pe = jnp.asarray(rng.normal(size=(B, 7, cross)) * 0.1, jnp.float32)
+    pooled = jnp.asarray(rng.normal(size=(B, pooled_dim)) * 0.1, jnp.float32)
+
+    master = jax.random.PRNGKey(7)
+    latents_jax, previews_jax = pipe.restore(lq, pe, pooled, cfg=cfg, key=master, output_type="latent")
+
+    # ---- replicate the pipeline's PRNG discipline ----
+    key, k_vae, k_init = jax.random.split(master, 3)
+    image_latent = np.asarray(pipe.encode_vae_image(pipe.params, lq.astype(jnp.float32), k_vae))
+    params = jax.tree_util.tree_map(np.asarray, pipe.params)
+
+    ts = ddpm_inference_timesteps(STEPS, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset)
+    prev_ts = ddpm_prev_timesteps(ts, cfg.num_train_timesteps, STEPS)
+    lat_shape = image_latent.shape
+    t0 = jnp.full((B,), int(ts[0]), jnp.int32)
+    init_noise = np.asarray(jax.random.normal(k_init, lat_shape, jnp.float32))
+    step_noises = []
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        step_noises.append(np.asarray(jax.random.normal(sub, lat_shape, jnp.float32)))
+
+    # ip tokens exactly as restore computes them (DINOv2+Resampler proven in
+    # their own oracle tests; their outputs feed both loops identically)
+    dino_cond, dino_uncond = pipe.encode_image_embeds(pipe.params, (lq + 1.0) / 2.0)
+    dino_tokens = jnp.concatenate([dino_uncond, dino_cond], axis=0)
+    ip_base = np.asarray(pipe.project_ip_tokens(pipe.params, dino_tokens, lora_scale=0.0))
+    ip_lora = np.asarray(pipe.project_ip_tokens(pipe.params, dino_tokens, lora_scale=cfg.lora_alpha))
+
+    # ---- torch side ----
+    abar = _alphas_cumprod()
+    unet_base = TOracle(ucfg, params["unet"], lora=0.0)
+    unet_prev = TOracle(ucfg, params["unet"], lora=cfg.lora_alpha)
+    agg = TOracle(ucfg, params["aggregator"])
+
+    def nchw(x):
+        return torch.from_numpy(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)))
+
+    h = w = RES
+    time_ids = torch.tensor([[h, w, 0, 0, h, w]], dtype=torch.float32).repeat(2 * B, 1)
+    ctx = torch.cat([torch.zeros_like(torch.from_numpy(np.asarray(pe))), torch.from_numpy(np.asarray(pe))])
+    text_embeds = torch.cat([torch.zeros_like(torch.from_numpy(np.asarray(pooled))), torch.from_numpy(np.asarray(pooled))])
+    ip_base_t = torch.from_numpy(ip_base)
+    ip_lora_t = torch.from_numpy(ip_lora)
+    img_lat = nchw(image_latent)
+    img_lat2 = torch.cat([img_lat, img_lat])
+
+    a0 = abar[int(ts[0])]
+    x = torch.sqrt(a0) * img_lat + torch.sqrt(1 - a0) * nchw(init_noise)
+
+    torch_previews = []
+    with torch.no_grad():
+        for i in range(STEPS):
+            t = torch.full((2 * B,), int(ts[i]), dtype=torch.long)
+            tb = torch.full((B,), int(ts[i]), dtype=torch.long)
+            prev_tb = torch.full((B,), int(prev_ts[i]), dtype=torch.long)
+            keep = not ((i + 1) / STEPS > cfg.control_guidance_end or i / STEPS < cfg.control_guidance_start)
+            previewing = keep and not (i / STEPS < cfg.preview_start or (i + 1) / STEPS > cfg.preview_end)
+            x_in = torch.cat([x, x])
+
+            if keep:
+                if previewing:
+                    eps_prev = unet_prev.unet(x_in, t, ctx, text_embeds, time_ids, ip=ip_lora_t)
+                    preview = _lcm_step(abar, eps_prev, t, x_in)
+                    torch_previews.append(preview[B:].clone())
+                else:
+                    preview = img_lat2
+                downs, mid = agg.aggregator(img_lat2, t, preview, text_embeds, time_ids)
+                eps = unet_base.unet(x_in, t, ctx, text_embeds, time_ids, ip=ip_base_t,
+                                     down_res=downs, mid_res=mid)
+            else:
+                eps = unet_base.unet(x_in, t, ctx, text_embeds, time_ids, ip=ip_base_t)
+
+            eps_u, eps_c = eps.chunk(2)
+            eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+            x = _ddpm_step(abar, eps, tb, prev_tb, x, nchw(step_noises[i]))
+
+    got = np.asarray(latents_jax)
+    ref = np.transpose(x.numpy(), (0, 2, 3, 1))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert err < 5e-4, f"final latent relative max-err {err:.3e}"
+
+    # per-step previews (intermediate trajectory checkpoints for the B steps)
+    assert previews_jax is not None and len(previews_jax) == len(torch_previews) == 2
+    for i, (pj, pt) in enumerate(zip(previews_jax, torch_previews)):
+        pj = np.asarray(pj)
+        pt = np.transpose(pt.numpy(), (0, 2, 3, 1))
+        perr = np.abs(pj - pt).max() / (np.abs(pt).max() + 1e-12)
+        assert perr < 5e-4, f"preview {i} relative max-err {perr:.3e}"
