@@ -144,7 +144,7 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, 
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).reshape(block_q)
+    lse_ref[0] = m + jnp.log(l)  # [block_q, 1]
 
 
 def _flash_bwd_dq_kernel(
@@ -154,8 +154,8 @@ def _flash_bwd_dq_kernel(
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     block_q, d = q.shape
-    lse = lse_ref[0].reshape(block_q, 1)
-    delta = delta_ref[0].reshape(block_q, 1)
+    lse = lse_ref[0]  # [block_q, 1]
+    delta = delta_ref[0]  # [block_q, 1]
     num_kv = kv_len // block_k
 
     def body(j, acc):
@@ -184,8 +184,8 @@ def _flash_bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)].reshape(1, block_q)
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)].reshape(1, block_q)
+        lse = lse_ref[0, :, pl.ds(i * block_q, block_q)]  # [1, block_q]
+        delta = delta_ref[0, :, pl.ds(i * block_q, block_q)]  # [1, block_q]
         # s_t[j, i] = scale · k_j · q_i
         s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         p_t = jnp.exp(s_t - lse)
@@ -226,11 +226,13 @@ def _flash_forward_lse(q, k, v, scale, block_q=256, block_k=512, interpret=False
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            # trailing singleton keeps the block's last-two dims Mosaic-legal
+            # ((block_q, 1): block_q | 8, 1 == array dim)
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sq, 1), jnp.float32),
         ),
         interpret=interpret,
     )(qf, kf, vf)
@@ -249,8 +251,10 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q=256, block_k=256, interpr
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
-    # D_i = Σ_d dO_i·O_i — cheap elementwise+reduce, left to XLA
-    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)
+    # D_i = Σ_d dO_i·O_i — cheap elementwise+reduce, left to XLA. lse arrives
+    # as [B·H, Sq, 1] (the dq layout); the dk/dv kernel reads the transposed
+    # [B·H, 1, Sq] view so neither kernel transposes internally.
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
 
     dq_kernel = functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k, kv_len=kv_len)
     dq = pl.pallas_call(
@@ -261,14 +265,16 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q=256, block_k=256, interpr
             pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, gf, lse, delta)
 
+    lse_t = lse.reshape(b * h, 1, sq)
+    delta_t = delta.reshape(b * h, 1, sq)
     dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q, q_len=sq)
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -278,8 +284,8 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q=256, block_k=256, interpr
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -290,7 +296,7 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q=256, block_k=256, interpr
             jax.ShapeDtypeStruct((b * h, kv_len, d), v.dtype),
         ),
         interpret=interpret,
-    )(qf, kf, vf, gf, lse, delta)
+    )(qf, kf, vf, gf, lse_t, delta_t)
 
     def unfold(x):
         return x.reshape(b, h, x.shape[1], d).transpose(0, 2, 1, 3)
@@ -335,5 +341,5 @@ def dot_product_attention(
     kv_len = k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
     if use_flash and bias is None and on_tpu and kv_len >= 512 and q.shape[1] >= 128:
-        return _flash_diff(q, k, v, scale)
+        return _flash_diff(q, k, v, q.shape[-1] ** -0.5 if scale is None else scale)
     return attention_xla(q, k, v, scale=scale, bias=bias)

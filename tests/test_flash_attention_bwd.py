@@ -79,5 +79,5 @@ def test_flash_fwd_lse_consistent():
     # reference logsumexp
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     ref_lse = jax.scipy.special.logsumexp(logits, axis=-1)  # [b, h, sq]
-    ref_lse = ref_lse.reshape(b * heads, seq)
+    ref_lse = ref_lse.reshape(b * heads, seq, 1)  # kernel layout: trailing singleton lane dim
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5, rtol=1e-5)
