@@ -56,7 +56,10 @@ def build_models(dtype=jnp.bfloat16, lite: bool = False):
 
     unet = UNet2DConditionModel(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
     aggregator = Aggregator(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
-    vae = AutoencoderKL(vcfg, dtype=jnp.float32)
+    # fp32 compute (force_upcast semantics), bf16 parameter storage: weight
+    # quantization is below 8-bit output rounding (>40 dB, tested) and the
+    # 160 MB freed is what lets base+merged-previewer weights fit 16 GB HBM
+    vae = AutoencoderKL(vcfg, dtype=jnp.float32, param_dtype=dtype)
     resampler = Resampler(rcfg, dtype=dtype, param_dtype=dtype)
     dino = DINOv2Model(dcfg, dtype=dtype, param_dtype=dtype)
     return unet, aggregator, vae, resampler, dino, sdxl_schedule()
@@ -317,6 +320,10 @@ def main():
     jax.block_until_ready(params)
 
     pipe = InstantIRPipeline(unet, aggregator, vae, resampler, dino, schedule, params)
+    # NOTE: freeze_previewer (merged-LoRA preview, ~20 ms/step) does NOT fit
+    # at 1024² on one 16 GB v5e: base+merged arguments are 13.7 GB and the
+    # sampler needs ~2.3 GB of temps (incl. ~0.65 GB XLA fragmentation).
+    # It fits at <=768²; the 1024² headline runs the dynamic LoRA branch.
     cfg = RestoreConfig(
         num_inference_steps=steps,
         guidance_scale=7.0,

@@ -23,6 +23,41 @@ Dtype = Any
 default_kernel_init = nn.initializers.lecun_normal()
 
 
+def merge_lora_tree(params, lora_scale: float, lora_alpha: float = 1.0):
+    """Analytically fold every LoRA branch into its base kernel:
+    ``W' = W + lora_scale·(alpha/r)·A·B`` (Dense) /
+    ``K' = K + lora_scale·(alpha/r)·(A ∗ B₁ₓ₁)`` (Conv).
+
+    Applying the returned tree with static ``lora_scale=0.0`` then skips the
+    adapter matmuls entirely while producing the same output as the dynamic
+    branch (to accumulation-order error) — the inference sampler merges the
+    previewer LoRA once per restore instead of paying the rank-r matmul pair
+    at every linear/conv of every preview step. Non-LoRA leaves are returned
+    by reference (no copy); only lora-bearing base kernels get new buffers.
+    """
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if "base" in node and "lora_a" in node and "lora_b" in node:
+            a = node["lora_a"]["kernel"]
+            b = node["lora_b"]["kernel"]
+            k = node["base"]["kernel"]
+            rank = a.shape[-1]
+            # native-dtype arithmetic (fp32 MXU accumulation either way):
+            # matches the dynamic branch's bf16 rounding and keeps the
+            # transient delta buffers at parameter width, not fp32
+            if k.ndim == 2:  # Dense: a [in, r] @ b [r, out]
+                delta = a @ b
+            else:  # Conv: a [kh, kw, in, r], b [1, 1, r, out]
+                delta = jnp.einsum("hwir,ro->hwio", a, b[0, 0])
+            merged = k + jnp.asarray(lora_scale * lora_alpha / rank, k.dtype) * delta
+            return {**node, "base": {**node["base"], "kernel": merged}}
+        return {key: walk(v) for key, v in node.items()}
+
+    return walk(params)
+
+
 def _static_zero(lora_scale) -> bool:
     """True when lora_scale is a Python/static 0 — the LoRA branch can then
     be skipped entirely at trace time (the previewer-off UNet pass would

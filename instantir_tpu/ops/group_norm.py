@@ -27,10 +27,24 @@ def group_norm_silu_reference(
     b, h, w, c = x.shape
     cpg = c // num_groups
     xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cpg)
+    # E[x²]−μ² instead of E[(x−μ)²]: both squares fuse INTO the reductions,
+    # so XLA never materializes a centered fp32 copy of the activation (the
+    # two-pass form held three 85 MB fp32 temps per /1-res aggregator norm
+    # at 1024² and tipped the merged-previewer sampler over HBM). fp32
+    # accumulation over bf16 inputs keeps the cancellation error below
+    # activation noise.
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y.reshape(b, h, w, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    mean_sq = jnp.mean(xf * xf, axis=(1, 3), keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    # one elementwise pass: y = (x − μ)·inv·s + b
+    a = inv.reshape(b, 1, 1, num_groups, 1)
+    mu = mean.reshape(b, 1, 1, num_groups, 1)
+    xs = x.astype(jnp.float32).reshape(b, h, w, num_groups, cpg)
+    sc = scale.astype(jnp.float32).reshape(num_groups, cpg)
+    bs = bias.astype(jnp.float32).reshape(num_groups, cpg)
+    y = (xs - mu) * a * sc + bs
+    y = y.reshape(b, h, w, c)
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)

@@ -75,6 +75,14 @@ class RestoreConfig:
     control_guidance_end: float = 1.0
     controlnet_conditioning_scale: float = 1.0
     lora_alpha: float = 1.0  # previewer LoRA strength when enabled
+    # fold the previewer LoRA into a merged weight set inside the sampler
+    # program (W + scale·(α/r)·AB) instead of paying the rank-r matmul pair
+    # at every linear/conv of every preview step (~20 ms/step at SDXL scale).
+    # Off by default: it holds base + merged + LoRA pairs simultaneously,
+    # which exceeds one v5e's HBM at SDXL scale — production inference uses
+    # ``InstantIRPipeline.freeze_previewer`` instead, which merges once and
+    # frees the LoRA pairs.
+    fuse_previewer_lora: bool = False
     adastep_restore: bool = False
     save_preview_row: bool = False
     # VAE decode dtype: "float32" (reference force_upcast — its fp16 VAE
@@ -149,6 +157,8 @@ class InstantIRPipeline:
         self.schedule = schedule
         self.params = params
         self.mesh = None
+        self._prev_unet = None  # merged previewer weights (freeze_previewer)
+        self._frozen_alpha = None
         self._sample_fn_cache: Dict[Any, Any] = {}
         # Every device-side stage is jitted: an eager encoder pass costs
         # hundreds of per-op dispatches (~4-6 s through this environment's
@@ -180,8 +190,72 @@ class InstantIRPipeline:
         self.mesh = mesh
         if mesh is not None:
             self.params = replicate_params(self.params, mesh)
+            if self._prev_unet is not None:
+                self._prev_unet = replicate_params(self._prev_unet, mesh)
             # drop cached uncond tokens computed under the old placement
             self._uncond_cache_params = None
+        return self
+
+    def freeze_previewer(self, alpha: float = 1.0):
+        """Inference-only: fold the previewer LoRA into a dedicated merged
+        weight set ONCE (``W + α_run·(α_mod/r)·AB``) and drop the LoRA A/B
+        pairs from memory. Mode-B preview steps then apply the merged weights
+        with the adapter branch statically skipped — saving the rank-r matmul
+        pair at every linear/conv of every preview step (~20 ms/step at SDXL
+        scale) — and base+merged fits one v5e chip only because the ~0.4 GiB
+        of A/B pairs is freed. After freezing, ``restore`` requires
+        ``cfg.lora_alpha == alpha`` (or 0), and dynamic adapter switching
+        (the demo's set_adapter) is unavailable."""
+        import jax
+
+        params = self.params["unet"]["params"]
+        lora_paths: list = []
+
+        def find(node, path):
+            if isinstance(node, dict):
+                if "base" in node and "lora_a" in node:
+                    lora_paths.append(path)
+                else:
+                    for k, v in node.items():
+                        find(v, path + (k,))
+
+        find(params, ())
+        module_alpha = self.unet.config.lora_alpha
+
+        @jax.jit
+        def merged_kernels(p):
+            out = {}
+            for path in lora_paths:
+                node = p
+                for k in path:
+                    node = node[k]
+                a, bk, base_k = node["lora_a"]["kernel"], node["lora_b"]["kernel"], node["base"]["kernel"]
+                r = a.shape[-1]
+                delta = a @ bk if base_k.ndim == 2 else jnp.einsum("hwir,ro->hwio", a, bk[0, 0])
+                out["/".join(path)] = base_k + jnp.asarray(alpha * module_alpha / r, base_k.dtype) * delta
+            return out
+
+        merged_flat = merged_kernels(params) if lora_paths else {}
+
+        def strip(node):
+            if not isinstance(node, dict):
+                return node
+            if "base" in node and "lora_a" in node:
+                return {k: v for k, v in node.items() if k not in ("lora_a", "lora_b")}
+            return {k: strip(v) for k, v in node.items()}
+
+        # self._prev_unet holds ONLY the merged kernels, keyed by module path;
+        # the sampler weaves them over the base tree at trace time. Passing a
+        # full merged tree instead would double-count the shared non-LoRA
+        # leaves in XLA's program-input accounting and blow the HBM budget.
+        self.params = {**self.params, "unet": {**self.params["unet"], "params": strip(params)}}
+        self._prev_unet = merged_flat
+        self._frozen_alpha = float(alpha)
+        self._sample_fn_cache.clear()
+        if self.mesh is not None:
+            from instantir_tpu.parallel.mesh import replicate_params
+
+            self._prev_unet = replicate_params(self._prev_unet, self.mesh)
         return self
 
     def _shard_inputs(self, *arrays):
@@ -305,7 +379,8 @@ class InstantIRPipeline:
                 pred = rescale_noise_cfg(pred, text, cfg.guidance_rescale)
             return pred
 
-        def make_body(mode: str, params, cond, image_latent, ip_base, ip_lora, reference_latents=None):
+        def make_body(mode: str, params, cond, image_latent, ip_base, ip_lora,
+                      reference_latents=None, prev_params=None):
             def body(carry, step_in):
                 latents, key, preview_factor, prev_preview = carry
                 t, prev_t = step_in["t"], step_in["prev_t"]
@@ -328,7 +403,10 @@ class InstantIRPipeline:
 
                 # A/B: controlnet active
                 if mode == "B":
-                    preview_noise = unet_apply(params, latent_in, tb, cond, cfg.lora_alpha, ip_lora)
+                    if prev_params is not None:  # merged-LoRA weights, static skip
+                        preview_noise = unet_apply(prev_params, latent_in, tb, cond, 0.0, ip_lora)
+                    else:
+                        preview_noise = unet_apply(params, latent_in, tb, cond, cfg.lora_alpha, ip_lora)
                     preview_latent = lcm_single_step(schedule, preview_noise, tb, latent_in)
                 elif reference_latents is not None:
                     preview_latent = reference_latents  # caller-supplied (reference :1579-1580)
@@ -382,14 +460,44 @@ class InstantIRPipeline:
 
             return body
 
-        def sample(params, latents, cond, image_latent, ip_base, ip_lora, key, reference_latents=None):
+        def sample(params, latents, cond, image_latent, ip_base, ip_lora, key,
+                   reference_latents=None, prev_unet=None):
             bsz = latents.shape[0]
             preview_factor = jnp.ones((bsz, 1, 1, 1), jnp.float32)
             prev_preview = jnp.zeros(latents.shape, jnp.float32)
             carry = (latents, key, preview_factor, prev_preview)
             previews = []
+            prev_params = None
+            if prev_unet is not None:
+                # freeze_previewer's flat merged kernels ({module/path: W'}),
+                # woven over the base tree (shared leaves stay by reference)
+                def weave(node, path):
+                    if not isinstance(node, dict):
+                        return node
+                    key = "/".join(path)
+                    if "base" in node and key in prev_unet:
+                        return {**node, "base": {**node["base"], "kernel": prev_unet[key]}}
+                    return {k: weave(v, path + (k,)) for k, v in node.items()}
+
+                prev_params = {
+                    **params,
+                    "unet": {**params["unet"], "params": weave(params["unet"]["params"], ())},
+                }
+            elif cfg.fuse_previewer_lora and cfg.lora_alpha and any(p["mode"] == "B" for p in phases):
+                from instantir_tpu.models.layers import merge_lora_tree
+
+                prev_params = {
+                    **params,
+                    "unet": {
+                        **params["unet"],
+                        "params": merge_lora_tree(
+                            params["unet"]["params"], cfg.lora_alpha, unet.config.lora_alpha
+                        ),
+                    },
+                }
             for phase in phases:
-                body = make_body(phase["mode"], params, cond, image_latent, ip_base, ip_lora, reference_latents)
+                body = make_body(phase["mode"], params, cond, image_latent, ip_base, ip_lora,
+                                 reference_latents, prev_params=prev_params)
                 steps = {
                     "t": jnp.asarray(phase["t"], jnp.int32),
                     "prev_t": jnp.asarray(phase["prev_t"], jnp.int32),
@@ -483,9 +591,18 @@ class InstantIRPipeline:
         cond_image_latent = jnp.concatenate([image_latent] * 2, axis=0) if cfg.do_cfg else image_latent
         if reference_latents is not None and cfg.do_cfg:
             reference_latents = jnp.concatenate([reference_latents] * 2, axis=0)
+        prev_unet = None
+        if self._prev_unet is not None and cfg.lora_alpha:
+            if cfg.lora_alpha != self._frozen_alpha:
+                raise ValueError(
+                    f"previewer frozen at lora_alpha={self._frozen_alpha} (the LoRA pairs were "
+                    f"freed); restore with lora_alpha={cfg.lora_alpha} is impossible — rebuild "
+                    f"the pipeline or freeze at the desired strength"
+                )
+            prev_unet = self._prev_unet
         latents, preview_row = self.sample_fn(cfg)(
             params, latents, cond, cond_image_latent, ip_base, ip_lora, key,
-            reference_latents=reference_latents,
+            reference_latents=reference_latents, prev_unet=prev_unet,
         )
 
         if output_type == "latent":

@@ -118,10 +118,15 @@ def make_schedule(
 
     alphas_cumprod = np.cumprod(1.0 - betas)
     final_alpha = 1.0 if set_alpha_to_one else float(alphas_cumprod[0])
+    # HOST numpy tables: a jit that closes over them embeds the constants
+    # straight from host memory. Device (jnp) tables would force a
+    # device→host fetch at every trace of every closing-over program — a
+    # relay round-trip here, and one that can fail outright when HBM is
+    # near-full (observed with the merged-previewer sampler resident).
     return DiffusionSchedule(
-        betas=jnp.asarray(betas, dtype=jnp.float32),
-        alphas_cumprod=jnp.asarray(alphas_cumprod, dtype=jnp.float32),
-        final_alpha_cumprod=jnp.asarray(final_alpha, dtype=jnp.float32),
+        betas=np.asarray(betas, dtype=np.float32),
+        alphas_cumprod=np.asarray(alphas_cumprod, dtype=np.float32),
+        final_alpha_cumprod=np.float32(final_alpha),
         num_train_timesteps=num_train_timesteps,
         prediction_type=prediction_type,
         timestep_scaling=timestep_scaling,
@@ -148,7 +153,7 @@ def sdxl_schedule(**overrides) -> DiffusionSchedule:
 def _gather_bar(schedule: DiffusionSchedule, t: jnp.ndarray, ndim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """sqrt(alpha_bar_t), sqrt(1-alpha_bar_t) broadcast to ndim dims, fp32."""
     t = jnp.asarray(t, dtype=jnp.int32)
-    abar = schedule.alphas_cumprod[t]
+    abar = jnp.asarray(schedule.alphas_cumprod)[t]  # host table → traced gather
     return _expand(jnp.sqrt(abar), ndim), _expand(jnp.sqrt(1.0 - abar), ndim)
 
 
@@ -223,9 +228,10 @@ def ddpm_step(
     t = jnp.atleast_1d(jnp.asarray(t, dtype=jnp.int32))
     prev_t = jnp.atleast_1d(jnp.asarray(prev_t, dtype=jnp.int32))
 
-    alpha_prod_t = _expand(schedule.alphas_cumprod[t], x.ndim)
+    abar_table = jnp.asarray(schedule.alphas_cumprod)  # host table → traced gather
+    alpha_prod_t = _expand(abar_table[t], x.ndim)
     alpha_prod_prev = _expand(
-        jnp.where(prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], schedule.final_alpha_cumprod),
+        jnp.where(prev_t >= 0, abar_table[jnp.maximum(prev_t, 0)], schedule.final_alpha_cumprod),
         x.ndim,
     )
     beta_prod_t = 1.0 - alpha_prod_t
@@ -276,8 +282,9 @@ def ddim_step(
     t = jnp.atleast_1d(jnp.asarray(t, dtype=jnp.int32))
     prev_t = jnp.atleast_1d(jnp.asarray(prev_t, dtype=jnp.int32))
 
+    abar_table = jnp.asarray(schedule.alphas_cumprod)  # host table → traced gather
     alpha_prod_prev = _expand(
-        jnp.where(prev_t >= 0, schedule.alphas_cumprod[jnp.maximum(prev_t, 0)], schedule.final_alpha_cumprod),
+        jnp.where(prev_t >= 0, abar_table[jnp.maximum(prev_t, 0)], schedule.final_alpha_cumprod),
         x.ndim,
     )
     pred_x0 = _predicted_x0(schedule, model_output.astype(jnp.float32), x, t)

@@ -157,7 +157,7 @@ def build_previewer_step(unet, resampler, vae, image_encoder, schedule, losses, 
             # DDIMSolver uses alphas_cumprod[0] (NOT alpha=1 —
             # train_previewer_lora.py:201-203), keeping the eps term alive.
             prev_t = jnp.where(index > 0, solver_ts[jnp.maximum(index - 1, 0)], 0)
-            abar_prev = schedule.alphas_cumprod[prev_t].reshape(-1, 1, 1, 1)
+            abar_prev = jnp.asarray(schedule.alphas_cumprod)[prev_t].reshape(-1, 1, 1, 1)
             return jnp.sqrt(abar_prev) * x0 + jnp.sqrt(1.0 - abar_prev) * eps
 
         x_prev = jax.lax.stop_gradient(teacher())

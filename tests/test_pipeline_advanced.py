@@ -80,3 +80,67 @@ def test_sharded_batch_restore(pipe, rng):
     assert np.isfinite(np.asarray(lat)).all()
     # result still spans all 8 devices (no gather to one chip mid-loop)
     assert len(lat.sharding.device_set) == 8
+
+
+def test_fused_previewer_lora_matches_dynamic(pipe, rng):
+    """The merged-LoRA preview path (W + scale·(α/r)·AB folded once per
+    restore, adapter matmuls statically skipped) must reproduce the dynamic
+    LoRA-branch restore to accumulation-order error."""
+    from instantir_tpu.pipeline.instantir import InstantIRPipeline
+
+    p = InstantIRPipeline(
+        pipe.unet, pipe.aggregator, pipe.vae, pipe.resampler, pipe.image_encoder,
+        pipe.schedule, pipe.params,
+    )
+    lq, pe, pooled = _inputs(pipe, rng, b=2)
+    base = dict(num_inference_steps=4, guidance_scale=5.0, preview_start=0.0, control_guidance_end=0.8,
+                lora_alpha=0.7)
+    lat_dyn, _ = p.restore(lq, pe, pooled, cfg=RestoreConfig(**base, fuse_previewer_lora=False),
+                           key=jax.random.PRNGKey(5), output_type="latent")
+    lat_fused, _ = p.restore(lq, pe, pooled, cfg=RestoreConfig(**base, fuse_previewer_lora=True),
+                             key=jax.random.PRNGKey(5), output_type="latent")
+    a, b = np.asarray(lat_dyn), np.asarray(lat_fused)
+    assert not np.allclose(a, 0)
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-3)
+
+
+def test_freeze_previewer_matches_dynamic(pipe, rng):
+    """freeze_previewer: one-time analytic merge + LoRA-pair removal must
+    reproduce the dynamic restore; a mismatched lora_alpha afterwards must
+    fail loudly (the pairs are gone)."""
+    from instantir_tpu.pipeline.instantir import InstantIRPipeline
+
+    def fresh():
+        return InstantIRPipeline(
+            pipe.unet, pipe.aggregator, pipe.vae, pipe.resampler, pipe.image_encoder,
+            pipe.schedule, pipe.params,
+        )
+
+    lq, pe, pooled = _inputs(pipe, rng, b=2)
+    base = dict(num_inference_steps=4, guidance_scale=5.0, preview_start=0.0,
+                control_guidance_end=0.8, lora_alpha=0.7)
+    lat_dyn, _ = fresh().restore(lq, pe, pooled, cfg=RestoreConfig(**base),
+                                 key=jax.random.PRNGKey(5), output_type="latent")
+    frozen = fresh().freeze_previewer(0.7)
+
+    def count_lora(t):
+        n = [0]
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if k == "lora_a":
+                        n[0] += 1
+                    walk(v)
+
+        walk(t)
+        return n[0]
+
+    assert count_lora(frozen.params["unet"]) == 0
+    assert count_lora(frozen._prev_unet) == 0
+    lat_frozen, _ = frozen.restore(lq, pe, pooled, cfg=RestoreConfig(**base),
+                                   key=jax.random.PRNGKey(5), output_type="latent")
+    np.testing.assert_allclose(np.asarray(lat_dyn), np.asarray(lat_frozen), atol=5e-4, rtol=5e-3)
+    with pytest.raises(ValueError, match="frozen"):
+        frozen.restore(lq, pe, pooled, cfg=RestoreConfig(**{**base, "lora_alpha": 1.0}),
+                       key=jax.random.PRNGKey(5), output_type="latent")
