@@ -57,8 +57,8 @@ def build_models(dtype=jnp.bfloat16, lite: bool = False):
     unet = UNet2DConditionModel(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
     aggregator = Aggregator(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
     # fp32 compute (force_upcast semantics), bf16 parameter storage: weight
-    # quantization is below 8-bit output rounding (>40 dB, tested) and the
-    # 160 MB freed is what lets base+merged-previewer weights fit 16 GB HBM
+    # quantization is below 8-bit output rounding (>40 dB, tested) and frees
+    # 160 MB of HBM headroom
     vae = AutoencoderKL(vcfg, dtype=jnp.float32, param_dtype=dtype)
     resampler = Resampler(rcfg, dtype=dtype, param_dtype=dtype)
     dino = DINOv2Model(dcfg, dtype=dtype, param_dtype=dtype)
