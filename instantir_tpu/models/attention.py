@@ -62,6 +62,7 @@ class Attention(nn.Module):
         temb: Optional[jnp.ndarray] = None,
         lora_scale=0.0,
         ip_scale: Optional[jnp.ndarray] = None,
+        external_kv=None,
     ) -> jnp.ndarray:
         inner_dim = self.heads * self.head_dim
         kv_dim = self.cross_attention_dim or self.query_dim
@@ -78,6 +79,13 @@ class Attention(nn.Module):
         q = LoRADense(inner_dim, use_bias=False, name="to_q", **lora_qo, **common)(hidden_states, lora_scale)
         k = LoRADense(inner_dim, use_bias=False, name="to_k", **lora_kv, **common)(context, lora_scale)
         v = LoRADense(inner_dim, use_bias=False, name="to_v", **lora_kv, **common)(context, lora_scale)
+
+        if external_kv is not None:
+            # reference-attention injection: extra K/V tokens appended to the
+            # sequence (``attention_processor.py:380-382``; KVCopy caches from
+            # ``module/attention.py:112-143`` → models/kv_cache.py here)
+            k = jnp.concatenate([k, external_kv.k.astype(k.dtype)], axis=1)
+            v = jnp.concatenate([v, external_kv.v.astype(v.dtype)], axis=1)
 
         q = q.reshape(b, n, self.heads, self.head_dim)
         k = k.reshape(b, -1, self.heads, self.head_dim)
