@@ -63,6 +63,11 @@ class UNetConfig:
     time_aware_ip: bool = True
     lora_rank: int = 0  # previewer LoRA rank (0 = no LoRA params)
     lora_alpha: float = 1.0
+    # how controlnet residuals enter: "add" (stock SDXL/InstantIR) or
+    # "zero_sft" (the reference's dormant UNet2DZeroSFTModel variant —
+    # GroupNorm-SFT modulation with zero-init convs at every skip + mid,
+    # module/unet/unet_2d_ZeroSFT.py:81-136,486,1351)
+    residual_fusion: str = "add"
 
     @property
     def time_embed_dim(self) -> int:
@@ -192,8 +197,21 @@ class UNet2DConditionModel(nn.Module):
             down_res_samples = down_res_samples + res
 
         if down_block_additional_residuals is not None:
-            down_res_samples = tuple(
-                s + r.astype(s.dtype) for s, r in zip(down_res_samples, down_block_additional_residuals)
+            if cfg.residual_fusion == "zero_sft":
+                # pair (control, skip); each up-block resnet fuses via ZeroSFT
+                down_res_samples = tuple(
+                    (r.astype(s.dtype), s)
+                    for s, r in zip(down_res_samples, down_block_additional_residuals)
+                )
+            else:
+                down_res_samples = tuple(
+                    s + r.astype(s.dtype) for s, r in zip(down_res_samples, down_block_additional_residuals)
+                )
+        elif cfg.residual_fusion == "zero_sft":
+            raise ValueError(
+                "residual_fusion='zero_sft' is a controlnet-fusion variant; it requires "
+                "down_block_additional_residuals/mid_block_additional_residual (also at init, "
+                "so the ZeroSFT parameters materialize)"
             )
 
         # 4. mid
@@ -223,7 +241,15 @@ class UNet2DConditionModel(nn.Module):
             ip_scale=ip_scale,
         )
         if mid_block_additional_residual is not None:
-            sample = sample + mid_block_additional_residual.astype(sample.dtype)
+            if cfg.residual_fusion == "zero_sft":
+                from instantir_tpu.models.zero_sft import ZeroSFT
+
+                sample = ZeroSFT(
+                    norm_num_groups=cfg.norm_num_groups, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="mid_zero_sft",
+                )(mid_block_additional_residual.astype(sample.dtype), sample)
+            else:
+                sample = sample + mid_block_additional_residual.astype(sample.dtype)
 
         # 5. up
         reversed_channels = tuple(reversed(cfg.block_out_channels))

@@ -9,6 +9,7 @@ from flax import linen as nn
 
 from instantir_tpu.models.resnet import Downsample2D, ResnetBlock2D, Upsample2D
 from instantir_tpu.models.transformer import Transformer2DModel
+from instantir_tpu.models.zero_sft import ZeroSFT
 
 Dtype = Any
 
@@ -217,7 +218,14 @@ class UpBlock2D(nn.Module):
         )
         for i in range(self.num_layers):
             skip = res_samples[-1 - i]
-            x = jnp.concatenate([x, skip], axis=-1)
+            if isinstance(skip, tuple):
+                # ZeroSFT residual fusion: (controlnet residual, skip) pair
+                # (reference unet_2d_ZeroSFT_blocks.py:2755-2762)
+                control, skip_h = skip
+                x = ZeroSFT(norm_num_groups=self.norm_num_groups, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=f"zero_sfts_{i}")(control, skip_h, h_ori=x)
+            else:
+                x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlock2D(self.out_channels, self.temb_channels, name=f"resnets_{i}", **common)(
                 x, temb, lora_scale
             )
@@ -288,7 +296,13 @@ class CrossAttnUpBlock2D(nn.Module):
         )
         for i in range(self.num_layers):
             skip = res_samples[-1 - i]
-            x = jnp.concatenate([x, skip], axis=-1)
+            if isinstance(skip, tuple):
+                # ZeroSFT residual fusion (reference unet_2d_ZeroSFT_blocks.py:2607-2614)
+                control, skip_h = skip
+                x = ZeroSFT(norm_num_groups=self.norm_num_groups, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name=f"zero_sfts_{i}")(control, skip_h, h_ori=x)
+            else:
+                x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlock2D(self.out_channels, self.temb_channels, name=f"resnets_{i}", **rn)(
                 x, temb, lora_scale
             )
