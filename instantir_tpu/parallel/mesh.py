@@ -43,3 +43,25 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def replicate_params(params: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), params)
+
+
+def zero1_spec(x, mesh: Mesh) -> NamedSharding:
+    """ZeRO-1 layout for one optimizer-state leaf: shard the largest
+    ``data``-divisible axis; replicate scalars/indivisible leaves."""
+    ndev = mesh.shape["data"]
+    if hasattr(x, "shape") and ndev > 1:
+        for axis in sorted(range(len(x.shape)), key=lambda a: -x.shape[a]):
+            if x.shape[axis] and x.shape[axis] % ndev == 0:
+                parts = [None] * len(x.shape)
+                parts[axis] = "data"
+                return NamedSharding(mesh, P(*parts))
+    return NamedSharding(mesh, P())
+
+
+def zero1_shard(tree: Any, mesh: Mesh) -> Any:
+    """Place a pytree in the ZeRO-1 layout (optimizer-state sharding over the
+    ``data`` axis). With fp32 Adam moments this cuts the per-chip optimizer
+    footprint by ~the mesh size — the difference between stage-2's 1B-param
+    aggregator fitting a v5e-8 pod and not. The update math is elementwise,
+    so GSPMD runs it sharded and all-gathers only the parameter deltas."""
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, zero1_spec(x, mesh)), tree)

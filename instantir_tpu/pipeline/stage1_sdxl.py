@@ -54,6 +54,32 @@ class Stage1SDXLPipeline:
         self.params = params
         self._fns: Dict[Any, Any] = {}
 
+    def merge_previewer_lora_inplace(self, alpha: float = 1.0):
+        """Fold the previewer LoRA into the UNet base kernels IN PLACE and
+        drop the A/B pairs. Unlike ``InstantIRPipeline.freeze_previewer``,
+        this pipeline never needs the un-merged base alongside (there is only
+        one UNet pass per step), so the merge costs no extra HBM — afterwards
+        apply with ``lora_scale=0`` (statically skipped) for LoRA-``alpha``
+        behavior, ~12% faster at SDXL scale. Irreversible on this instance."""
+        import jax
+
+        from instantir_tpu.models.layers import merge_lora_tree
+
+        merged = jax.jit(
+            lambda p: merge_lora_tree(p, alpha, self.unet.config.lora_alpha)
+        )(self.params["unet"]["params"])
+
+        def strip(node):
+            if not isinstance(node, dict):
+                return node
+            if "base" in node and "lora_a" in node:
+                return {k: v for k, v in node.items() if k not in ("lora_a", "lora_b")}
+            return {k: strip(v) for k, v in node.items()}
+
+        self.params = {**self.params, "unet": {**self.params["unet"], "params": strip(merged)}}
+        self._fns.clear()
+        return self
+
     def _sample_fn(self, cfg: Stage1Config):
         if cfg in self._fns:
             return self._fns[cfg]

@@ -144,6 +144,46 @@ def replicate_or_keep(tree: Any, mesh) -> Any:
     return replicate_params(tree, mesh)
 
 
+def shard_opt_or_keep(tree: Any, mesh, zero1: bool = True) -> Any:
+    """Optimizer-state placement: ZeRO-1 sharded over ``data`` (default) or
+    replicated. The reference has no equivalent (accelerate DDP replicates
+    everything); SURVEY §2.3 reserves this as the pjit-native upgrade."""
+    if mesh is None or tree is None:
+        return tree
+    if not zero1:
+        return replicate_or_keep(tree, mesh)
+    from instantir_tpu.parallel.mesh import zero1_shard
+
+    return zero1_shard(tree, mesh)
+
+
+def unique_buffers(tree: Any) -> Any:
+    """Give every leaf its own device buffer (one jitted dispatch).
+
+    jax's constant cache can alias equal leaves — e.g. two same-shaped
+    zero-init kernels share one buffer — and donating such a tree fails with
+    "attempt to donate the same buffer twice". The add-zero keeps the jaxpr
+    from the identity fast path; XLA writes each output to a fresh
+    allocation."""
+    if tree is None:
+        return None
+    return jax.jit(
+        lambda t: jax.tree_util.tree_map(lambda x: x + jnp.zeros((), x.dtype), t)
+    )(tree)
+
+
+def replicate_constraint(tree: Any, mesh) -> Any:
+    """Inside-jit constraint pinning every leaf replicated (the updated
+    parameters come back replicated even when the optimizer state is ZeRO-1
+    sharded — classic ZeRO-1: shard moments, all-gather the deltas)."""
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(lambda x: jax.lax.with_sharding_constraint(x, sharding), tree)
+
+
 # ---------------------------------------------------------------------------
 # EMA
 # ---------------------------------------------------------------------------

@@ -52,6 +52,7 @@ class PreviewerConfig:
     output_dir: str = "previewer_out"
     max_train_steps: int = 1000
     train_batch_size: int = 32
+    shard_optimizer_state: bool = True  # ZeRO-1 Adam moments over the data axis
     learning_rate: float = 1e-4
     lr_scheduler: str = "constant"
     lr_warmup_steps: int = 100
@@ -268,7 +269,10 @@ class PreviewerTrainer:
         self.opt_state = self.tx.init(self.trainable)
         self.trainable = common.replicate_or_keep(self.trainable, self.mesh)
         self.frozen = common.replicate_or_keep(self.frozen, self.mesh)
-        self.opt_state = common.replicate_or_keep(self.opt_state, self.mesh)
+        self.opt_state = common.shard_opt_or_keep(self.opt_state, self.mesh, cfg.shard_optimizer_state)
+        # donated trees need leaf-unique buffers (constant-cache aliasing)
+        self.trainable = common.unique_buffers(self.trainable)
+        self.opt_state = common.unique_buffers(self.opt_state)
         # running teacher-token center for the optional image-space DINOLoss
         # (reference losses/losses.py:448-462 momentum update)
         from instantir_tpu.losses.losses import DINOLoss, LCMVisualization
@@ -279,7 +283,11 @@ class PreviewerTrainer:
             jnp.zeros((image_encoder.config.hidden_size,), jnp.float32), self.mesh
         )
         raw = build_previewer_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
-        self._step = jax.jit(lambda tr, fr, st, b, k, c: raw(tr, fr, st, self.tx, b, k, c))
+        def _wrapped(tr, fr, st, b, k, c):
+            new_tr, new_st, metrics, center = raw(tr, fr, st, self.tx, b, k, c)
+            return common.replicate_constraint(new_tr, self.mesh), new_st, metrics, center
+
+        self._step = jax.jit(_wrapped, donate_argnums=(0, 2))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
         self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
         self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
@@ -293,7 +301,7 @@ class PreviewerTrainer:
         step, state = self.ckpt.resume_latest(template)
         if state is not None:
             self.trainable = common.replicate_or_keep(state["trainable"], self.mesh)
-            self.opt_state = common.replicate_or_keep(state["opt_state"], self.mesh)
+            self.opt_state = common.shard_opt_or_keep(state["opt_state"], self.mesh, self.cfg.shard_optimizer_state)
             self.global_step = int(state["step"])
             print(f"[previewer] resumed from checkpoint-{step}")
 

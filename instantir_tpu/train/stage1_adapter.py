@@ -41,6 +41,7 @@ class Stage1Config:
     output_dir: str = "stage1_out"
     max_train_steps: int = 1000
     train_batch_size: int = 96
+    shard_optimizer_state: bool = True  # ZeRO-1 Adam moments over the data axis
     learning_rate: float = 1e-4
     lr_scheduler: str = "cosine"
     lr_warmup_steps: int = 100
@@ -182,9 +183,16 @@ class Stage1Trainer:
         self.opt_state = self.tx.init(self.trainable)
         self.trainable = common.replicate_or_keep(self.trainable, self.mesh)
         self.frozen = common.replicate_or_keep(self.frozen, self.mesh)
-        self.opt_state = common.replicate_or_keep(self.opt_state, self.mesh)
+        self.opt_state = common.shard_opt_or_keep(self.opt_state, self.mesh, cfg.shard_optimizer_state)
+        # donated trees need leaf-unique buffers (constant-cache aliasing)
+        self.trainable = common.unique_buffers(self.trainable)
+        self.opt_state = common.unique_buffers(self.opt_state)
         raw_step = build_stage1_step(unet, resampler, vae, image_encoder, self.schedule, losses, cfg)
-        self._step = jax.jit(lambda tr, fr, st, batch, key: raw_step(tr, fr, st, self.tx, batch, key))
+        def _wrapped(tr, fr, st, batch, key):
+            new_tr, new_st, metrics = raw_step(tr, fr, st, self.tx, batch, key)
+            return common.replicate_constraint(new_tr, self.mesh), new_st, metrics
+
+        self._step = jax.jit(_wrapped, donate_argnums=(0, 2))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
         self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
         self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
@@ -198,7 +206,7 @@ class Stage1Trainer:
         step, state = self.ckpt.resume_latest(template)
         if state is not None:
             self.trainable = common.replicate_or_keep(state["trainable"], self.mesh)
-            self.opt_state = common.replicate_or_keep(state["opt_state"], self.mesh)
+            self.opt_state = common.shard_opt_or_keep(state["opt_state"], self.mesh, self.cfg.shard_optimizer_state)
             self.global_step = int(state["step"])
             print(f"[stage1] resumed from checkpoint-{step}")
 

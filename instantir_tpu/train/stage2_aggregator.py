@@ -43,6 +43,10 @@ class Stage2Config:
     output_dir: str = "stage2_out"
     max_train_steps: int = 1000
     train_batch_size: int = 6
+    # ZeRO-1: shard fp32 Adam moments over the mesh data axis (parameters
+    # stay replicated; XLA all-gathers the deltas). Stage-2 trains the full
+    # ~1B-param aggregator — replicated moments alone are ~8 GB/chip.
+    shard_optimizer_state: bool = True
     learning_rate: float = 1e-4
     lr_scheduler: str = "constant"
     lr_warmup_steps: int = 100
@@ -254,10 +258,19 @@ class Stage2Trainer:
         self.opt_state = self.tx.init(self.trainable)
         self.trainable = common.replicate_or_keep(self.trainable, self.mesh)
         self.frozen = common.replicate_or_keep(self.frozen, self.mesh)
-        self.opt_state = common.replicate_or_keep(self.opt_state, self.mesh)
+        self.opt_state = common.shard_opt_or_keep(self.opt_state, self.mesh, cfg.shard_optimizer_state)
         self.ema_adapter = common.replicate_or_keep(self.ema_adapter, self.mesh)
+        # donated trees need leaf-unique buffers (constant-cache aliasing)
+        self.trainable = common.unique_buffers(self.trainable)
+        self.opt_state = common.unique_buffers(self.opt_state)
         raw = build_stage2_step(unet, aggregator, resampler, vae, image_encoder, self.schedule, losses, cfg)
-        self._step = jax.jit(lambda tr, fr, ema, st, b, k: raw(tr, fr, ema, st, self.tx, b, k))
+
+        def _wrapped(tr, fr, ema, st, b, k):
+            new_tr, new_st, metrics = raw(tr, fr, ema, st, self.tx, b, k)
+            return common.replicate_constraint(new_tr, self.mesh), new_st, metrics
+
+        # donate the old trainable/opt-state buffers (reassigned every step)
+        self._step = jax.jit(_wrapped, donate_argnums=(0, 3))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
         self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
         self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
@@ -276,7 +289,7 @@ class Stage2Trainer:
         step, state = self.ckpt.resume_latest(template)
         if state is not None:
             self.trainable = common.replicate_or_keep(state["trainable"], self.mesh)
-            self.opt_state = common.replicate_or_keep(state["opt_state"], self.mesh)
+            self.opt_state = common.shard_opt_or_keep(state["opt_state"], self.mesh, self.cfg.shard_optimizer_state)
             self.global_step = int(state["step"])
             self.ema_adapter = common.replicate_or_keep(state.get("ema_adapter", self.ema_adapter), self.mesh)
             print(f"[stage2] resumed from checkpoint-{step}")

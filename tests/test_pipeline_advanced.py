@@ -144,3 +144,43 @@ def test_freeze_previewer_matches_dynamic(pipe, rng):
     with pytest.raises(ValueError, match="frozen"):
         frozen.restore(lq, pe, pooled, cfg=RestoreConfig(**{**base, "lora_alpha": 1.0}),
                        key=jax.random.PRNGKey(5), output_type="latent")
+
+
+def test_stage1_inplace_lora_merge_matches_dynamic(pipe, rng):
+    """Stage1SDXLPipeline.merge_previewer_lora_inplace: folded weights with
+    static LoRA skip must equal the dynamic branch, and the A/B pairs are gone."""
+    from instantir_tpu.pipeline.stage1_sdxl import Stage1SDXLPipeline
+
+    def fresh():
+        return Stage1SDXLPipeline(
+            pipe.unet, pipe.vae, pipe.resampler, pipe.image_encoder, pipe.schedule, pipe.params
+        )
+
+    lat = jnp.asarray(rng.normal(size=(2, 4, 4, 4)), jnp.float32)
+    cross = pipe.unet.config.cross_attention_dim
+    pooled_dim = pipe.unet.config.projection_class_embeddings_input_dim - pipe.unet.config.addition_time_embed_dim * 6
+    cond = {
+        "prompt_embeds": jnp.asarray(rng.normal(size=(2, 7, cross)), jnp.float32),
+        "pooled_embeds": jnp.asarray(rng.normal(size=(2, pooled_dim)), jnp.float32),
+        "time_ids": jnp.zeros((2, 6), jnp.float32),
+    }
+    ip = jnp.asarray(rng.normal(size=(2, 4, cross)), jnp.float32)
+    want = fresh().one_step_preview(lat, 999, cond, ip, lora_scale=0.7)
+    merged = fresh().merge_previewer_lora_inplace(0.7)
+    got = merged.one_step_preview(lat, 999, cond, ip, lora_scale=0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-4)
+
+    def count_lora(t):
+        n = [0]
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if k == "lora_a":
+                        n[0] += 1
+                    walk(v)
+
+        walk(t)
+        return n[0]
+
+    assert count_lora(merged.params["unet"]) == 0
