@@ -61,10 +61,27 @@ class SFTHead(nn.Module):
 
 
 class Aggregator(nn.Module):
-    """SDXL down+mid trunk on the H-concatenated (LQ, preview) pair."""
+    """SDXL down+mid trunk on the H-concatenated (LQ, preview) pair.
+
+    ``pad_concat`` and ``attn1_mode`` expose the reference's dormant ablation
+    surface (``module/aggregator.py:269-280, 892-928`` and
+    ``init_aggregator_attn_proc``, ``attention_processor.py:1418-1467``):
+
+    * ``pad_concat=True`` inserts a zero row between the two streams at the
+      stem concat, and rebuilds the (re-zeroed) pad row after every down
+      block (``:914-928``, which also replaces the block's last res sample
+      with the rebuilt map);
+    * ``attn1_mode`` = "plain" (default: joint self-attention over the whole
+      concatenated map), "split" (``split_AttnProcessor2_0``: pad row dropped
+      from the joint attention), or "sep_split"
+      (``sep_split_AttnProcessor2_0``: separate per-stream self-attention +
+      AdaLN'd bidirectional cross-attention, ``ref_scale`` asymmetry).
+    """
 
     config: UNetConfig
     use_flash: bool = True
+    pad_concat: bool = False
+    attn1_mode: str = "plain"  # "plain" | "split" | "sep_split"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -78,6 +95,7 @@ class Aggregator(nn.Module):
         added_text_embeds: jnp.ndarray = None,
         added_time_ids: jnp.ndarray = None,
         conditioning_scale: float = 1.0,
+        ref_scale: float = 1.0,  # sep_split cross-attention strength
     ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
         cfg = self.config
         if cfg.lora_rank:
@@ -105,12 +123,30 @@ class Aggregator(nn.Module):
             add_embeds.astype(self.dtype)
         )
 
-        # 2. dual stems, spatial concat along H
+        # 2. dual stems, spatial concat along H (optional zero pad row between)
         cond_latent = LoRAConv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **common)(sample)
         ref_latent = LoRAConv(cfg.block_out_channels[0], (3, 3), padding=1, name="ref_conv_in", **common)(
             controlnet_cond
         )
-        x = jnp.concatenate([cond_latent, ref_latent], axis=1)
+
+        def pad_row(c, r):
+            zeros = jnp.zeros((c.shape[0], 1) + c.shape[2:], c.dtype)
+            return jnp.concatenate([c, zeros, r], axis=1)
+
+        def rebuild_pad(t):
+            # re-zero the middle row after a block (reference :914-928)
+            hh = t.shape[1] // 2
+            return pad_row(t[:, :hh], t[:, t.shape[1] - hh :])
+
+        if self.pad_concat:
+            x = pad_row(cond_latent, ref_latent)
+        else:
+            x = jnp.concatenate([cond_latent, ref_latent], axis=1)
+
+        # sep_split's AdaLN conditions on the combined time embedding (the
+        # reference routes `temb` via cross_attention_kwargs; time_embedding_dim
+        # =1280 = time_embed_dim, attention_processor.py:1444)
+        attn_temb = emb if self.attn1_mode == "sep_split" else None
 
         # 3. down blocks (cross-attention removed)
         res_samples = (x,)
@@ -128,12 +164,13 @@ class Aggregator(nn.Module):
                     num_layers=cfg.layers_per_block,
                     cross_attention_dim=cfg.cross_attention_dim,
                     has_cross_attention=False,
+                    attn1_mode=self.attn1_mode,
                     add_downsample=not is_final,
                     norm_num_groups=cfg.norm_num_groups,
                     use_flash=self.use_flash,
                     name=f"down_blocks_{i}",
                     **common,
-                )(x, emb)
+                )(x, emb, attn_temb=attn_temb, ref_scale=ref_scale)
             else:
                 x, res = DownBlock2D(
                     out_channels=out_ch,
@@ -144,6 +181,9 @@ class Aggregator(nn.Module):
                     name=f"down_blocks_{i}",
                     **common,
                 )(x, emb)
+            if self.pad_concat:
+                x = rebuild_pad(x)
+                res = res[:-1] + (x,)
             res_samples = res_samples + res
 
         # 4. mid
@@ -157,11 +197,12 @@ class Aggregator(nn.Module):
             transformer_layers=cfg.transformer_layers_per_block[-1],
             cross_attention_dim=cfg.cross_attention_dim,
             has_cross_attention=False,
+            attn1_mode=self.attn1_mode,
             norm_num_groups=cfg.norm_num_groups,
             use_flash=self.use_flash,
             name="mid_block",
             **common,
-        )(x, emb)
+        )(x, emb, attn_temb=attn_temb, ref_scale=ref_scale)
 
         # 5. split halves + SFT heads (cond modulates ref)
         def split_h(t):

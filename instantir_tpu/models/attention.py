@@ -117,3 +117,101 @@ class Attention(nn.Module):
 
         out = LoRADense(self.query_dim, use_bias=self.out_bias, name="to_out", **lora_qo, **common)(out, lora_scale)
         return out
+
+
+class SplitAttention(nn.Module):
+    """Aggregator self-attention ablations over the H-concatenated (cond|pad|ref) map.
+
+    Rebuilds the dormant processors installed by ``init_aggregator_attn_proc``
+    (reference ``module/ip_adapter/attention_processor.py:1418-1467``): the
+    token sequence is the flattened concatenated feature map; the two streams
+    are recovered (the zero pad row between them, if present, is dropped),
+    attended, and reassembled with a fresh zero pad row — so the pad tokens
+    pass through on the transformer residual unchanged, exactly like the
+    reference's zero-output-pad + residual_connection.
+
+    * ``mode="joint"`` — ``split_AttnProcessor2_0`` (``:417-538``): one joint
+      self-attention over [cond; ref] with the pad row excluded. Without a pad
+      row this is numerically identical to plain attention over the full map
+      (the equivalence COMPONENTS.md argues for the default path).
+    * ``mode="sep"`` — ``sep_split_AttnProcessor2_0`` (``:541-700``):
+      per-stream self-attention with *shared* projections, AdaLN(temb) applied
+      to the ref stream's K/V (``:629-631``), and bidirectional cross-attention
+      added asymmetrically: ``cond += ref_scale·10·attn(q_cond, k_ref, v_ref)``
+      (``:655``) and ``ref += ref_scale·attn(q_ref, k_cond, v_cond)``
+      (``:661-665``), all before the shared ``to_out``.
+
+    Projection names match :class:`Attention` (``to_q/to_k/to_v/to_out``), so
+    ``from_unet`` weight copies into the aggregator trunk apply unchanged;
+    ``mode="sep"`` adds ``ln_k_ref``/``ln_v_ref`` AdaLayerNorms.
+    """
+
+    query_dim: int
+    heads: int
+    head_dim: int
+    mode: str = "joint"  # "joint" | "sep"
+    use_flash: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # [B, H·W, C] flattened concatenated map
+        spatial: tuple,  # (H, W) of the concatenated map; H = 2·h (+1 if padded)
+        temb: Optional[jnp.ndarray] = None,
+        ref_scale=1.0,
+        external_kv=None,
+    ) -> jnp.ndarray:
+        h, w = spatial
+        inner = self.heads * self.head_dim
+        b, n, _ = hidden_states.shape
+        if n != h * w:
+            raise ValueError(f"sequence {n} does not match spatial {h}x{w}")
+        n0 = (h // 2) * w
+        pad = n - 2 * n0  # 0, or one w-token zero row between the streams
+        x0 = hidden_states[:, :n0]
+        x1 = hidden_states[:, n - n0 :]
+
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        to_q = LoRADense(inner, use_bias=False, name="to_q", **common)
+        to_k = LoRADense(inner, use_bias=False, name="to_k", **common)
+        to_v = LoRADense(inner, use_bias=False, name="to_v", **common)
+        to_out = LoRADense(self.query_dim, use_bias=True, name="to_out", **common)
+
+        def split_heads(t):
+            return t.reshape(b, -1, self.heads, self.head_dim)
+
+        def attend(q, k, v):
+            o = dot_product_attention(split_heads(q), split_heads(k), split_heads(v), use_flash=self.use_flash)
+            return o.reshape(b, -1, inner)
+
+        if self.mode == "joint":
+            x = jnp.concatenate([x0, x1], axis=1)
+            k, v = to_k(x), to_v(x)
+            if external_kv is not None:
+                k = jnp.concatenate([k, external_kv.k.astype(k.dtype)], axis=1)
+                v = jnp.concatenate([v, external_kv.v.astype(v.dtype)], axis=1)
+            out = to_out(attend(to_q(x), k, v))
+            o0, o1 = out[:, :n0], out[:, n0:]
+        elif self.mode == "sep":
+            if temb is None:
+                raise ValueError("mode='sep' requires temb (AdaLN on the ref K/V)")
+            q0, k0, v0 = to_q(x0), to_k(x0), to_v(x0)
+            q1, k1, v1 = to_q(x1), to_k(x1), to_v(x1)
+            k1 = AdaLayerNorm(inner, name="ln_k_ref", **common)(k1, temb)
+            v1 = AdaLayerNorm(inner, name="ln_v_ref", **common)(v1, temb)
+            if external_kv is not None:  # appended to the ref K/V (:632-634)
+                k1 = jnp.concatenate([k1, external_kv.k.astype(k1.dtype)], axis=1)
+                v1 = jnp.concatenate([v1, external_kv.v.astype(v1.dtype)], axis=1)
+            rs = jnp.asarray(ref_scale, hidden_states.dtype)
+            o0 = attend(q0, k0, v0) + rs * 10.0 * attend(q0, k1, v1)
+            o1 = attend(q1, k1, v1) + rs * attend(q1, k0, v0)
+            o0, o1 = to_out(o0), to_out(o1)
+        else:
+            raise ValueError(f"unknown SplitAttention mode {self.mode!r}")
+
+        if pad:
+            zeros = jnp.zeros((b, pad, o0.shape[-1]), o0.dtype)
+            return jnp.concatenate([o0, zeros, o1], axis=1)
+        return jnp.concatenate([o0, o1], axis=1)

@@ -14,7 +14,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from instantir_tpu.models.attention import Attention
+from instantir_tpu.models.attention import Attention, SplitAttention
 from instantir_tpu.models.layers import GroupNorm32, LoRADense
 
 Dtype = Any
@@ -49,6 +49,7 @@ class BasicTransformerBlock(nn.Module):
     has_cross_attention: bool = True  # False after remove_attn2
     with_ip: bool = False
     time_aware_ip: bool = True
+    attn1_mode: str = "plain"  # "plain" | "split" | "sep_split" (aggregator ablations)
     lora_rank: int = 0
     lora_alpha: float = 1.0
     use_flash: bool = True
@@ -64,6 +65,8 @@ class BasicTransformerBlock(nn.Module):
         temb: Optional[jnp.ndarray] = None,
         lora_scale=0.0,
         ip_scale=None,
+        spatial=None,
+        ref_scale=1.0,
     ) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
@@ -71,15 +74,29 @@ class BasicTransformerBlock(nn.Module):
 
         # 1. self-attention
         normed = nn.LayerNorm(name="norm1", **ln)(hidden_states.astype(jnp.float32)).astype(self.dtype)
-        hidden_states = hidden_states + Attention(
-            query_dim=self.dim,
-            heads=self.heads,
-            head_dim=self.head_dim,
-            use_flash=self.use_flash,
-            name="attn1",
-            **lora,
-            **common,
-        )(normed, lora_scale=lora_scale)
+        if self.attn1_mode == "plain":
+            attn1_out = Attention(
+                query_dim=self.dim,
+                heads=self.heads,
+                head_dim=self.head_dim,
+                use_flash=self.use_flash,
+                name="attn1",
+                **lora,
+                **common,
+            )(normed, lora_scale=lora_scale)
+        else:
+            # aggregator split-attention ablations over the H-concatenated map
+            # (reference init_aggregator_attn_proc, attention_processor.py:1418-1467)
+            attn1_out = SplitAttention(
+                query_dim=self.dim,
+                heads=self.heads,
+                head_dim=self.head_dim,
+                mode="sep" if self.attn1_mode == "sep_split" else "joint",
+                use_flash=self.use_flash,
+                name="attn1",
+                **common,
+            )(normed, spatial, temb=temb, ref_scale=ref_scale)
+        hidden_states = hidden_states + attn1_out
 
         # 2. cross-attention (absent in the Aggregator after remove_attn2)
         if self.has_cross_attention:
@@ -126,6 +143,7 @@ class Transformer2DModel(nn.Module):
     has_cross_attention: bool = True
     with_ip: bool = False
     time_aware_ip: bool = True
+    attn1_mode: str = "plain"
     norm_num_groups: int = 32
     lora_rank: int = 0
     lora_alpha: float = 1.0
@@ -142,6 +160,7 @@ class Transformer2DModel(nn.Module):
         temb: Optional[jnp.ndarray] = None,
         lora_scale=0.0,
         ip_scale=None,
+        ref_scale=1.0,
     ) -> jnp.ndarray:
         b, h, w, c = hidden_states.shape
         residual = hidden_states
@@ -161,6 +180,7 @@ class Transformer2DModel(nn.Module):
                 has_cross_attention=self.has_cross_attention,
                 with_ip=self.with_ip,
                 time_aware_ip=self.time_aware_ip,
+                attn1_mode=self.attn1_mode,
                 use_flash=self.use_flash,
                 name=f"blocks_{i}",
                 **lora,
@@ -172,6 +192,8 @@ class Transformer2DModel(nn.Module):
                 temb=temb,
                 lora_scale=lora_scale,
                 ip_scale=ip_scale,
+                spatial=(h, w),
+                ref_scale=ref_scale,
             )
 
         x = LoRADense(c, name="proj_out", **lora, **common)(x, lora_scale)

@@ -64,6 +64,7 @@ class CrossAttnDownBlock2D(nn.Module):
     has_cross_attention: bool = True
     with_ip: bool = False
     time_aware_ip: bool = True
+    attn1_mode: str = "plain"
     add_downsample: bool = True
     norm_num_groups: int = 32
     lora_rank: int = 0
@@ -82,6 +83,7 @@ class CrossAttnDownBlock2D(nn.Module):
         attn_temb=None,
         lora_scale=0.0,
         ip_scale=None,
+        ref_scale=1.0,
     ):
         res = []
         rn = dict(
@@ -99,6 +101,7 @@ class CrossAttnDownBlock2D(nn.Module):
             has_cross_attention=self.has_cross_attention,
             with_ip=self.with_ip,
             time_aware_ip=self.time_aware_ip,
+            attn1_mode=self.attn1_mode,
             norm_num_groups=self.norm_num_groups,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
@@ -117,6 +120,7 @@ class CrossAttnDownBlock2D(nn.Module):
                 temb=attn_temb,
                 lora_scale=lora_scale,
                 ip_scale=ip_scale,
+                ref_scale=ref_scale,
             )
             res.append(x)
         if self.add_downsample:
@@ -142,6 +146,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     has_cross_attention: bool = True
     with_ip: bool = False
     time_aware_ip: bool = True
+    attn1_mode: str = "plain"
     norm_num_groups: int = 32
     lora_rank: int = 0
     lora_alpha: float = 1.0
@@ -159,6 +164,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
         attn_temb=None,
         lora_scale=0.0,
         ip_scale=None,
+        ref_scale=1.0,
     ):
         rn = dict(
             norm_num_groups=self.norm_num_groups,
@@ -177,6 +183,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             has_cross_attention=self.has_cross_attention,
             with_ip=self.with_ip,
             time_aware_ip=self.time_aware_ip,
+            attn1_mode=self.attn1_mode,
             norm_num_groups=self.norm_num_groups,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
@@ -191,6 +198,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             temb=attn_temb,
             lora_scale=lora_scale,
             ip_scale=ip_scale,
+            ref_scale=ref_scale,
         )
         x = ResnetBlock2D(self.in_channels, self.temb_channels, name="resnets_1", **rn)(x, temb, lora_scale)
         return x
