@@ -60,6 +60,38 @@ class SFTHead(nn.Module):
         )(h)
 
 
+class ConditioningEmbedding(nn.Module):
+    """ControlNet-style pixel-space condition encoder (dormant in the live
+    config, reference ``module/aggregator.py:113-155``): conv_in → SiLU →
+    [conv3x3 → SiLU → conv3x3/s2 → SiLU]×(len-1) → zero-init conv_out.
+    Converts an image-space condition to the /8 latent feature grid; the live
+    aggregator instead feeds VAE latents through ``ref_conv_in``."""
+
+    embedding_channels: int
+    block_out_channels: Tuple[int, ...] = (16, 32, 96, 256)
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, conditioning: jnp.ndarray) -> jnp.ndarray:  # [B,H,W,C] NHWC
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1, name="conv_in", **common)(conditioning)
+        x = nn.silu(x)
+        for i in range(len(self.block_out_channels) - 1):
+            x = nn.Conv(self.block_out_channels[i], (3, 3), padding=1, name=f"blocks_{2*i}", **common)(x)
+            x = nn.silu(x)
+            x = nn.Conv(
+                self.block_out_channels[i + 1], (3, 3), strides=(2, 2), padding=1,
+                name=f"blocks_{2*i+1}", **common,
+            )(x)
+            x = nn.silu(x)
+        return nn.Conv(
+            self.embedding_channels, (3, 3), padding=1,
+            kernel_init=nn.initializers.zeros_init(), bias_init=nn.initializers.zeros_init(),
+            name="conv_out", **common,
+        )(x)
+
+
 class Aggregator(nn.Module):
     """SDXL down+mid trunk on the H-concatenated (LQ, preview) pair.
 

@@ -170,3 +170,42 @@ def test_bf16_vae_decode_close_to_fp32():
     span = img32.max() - img32.min()
     psnr = 10 * np.log10(span**2 / max(mse, 1e-12))
     assert psnr > 40, f"bf16 decode PSNR {psnr:.1f} dB"
+
+
+def test_conditioning_embedding_matches_torch_oracle(rng):
+    """Dormant ControlNet pixel-condition encoder (module/aggregator.py:113-155):
+    conv/SiLU stack with /8 downsampling and a zero-init output conv."""
+    torch = pytest.importorskip("torch")
+
+    from instantir_tpu.models.aggregator import ConditioningEmbedding
+
+    chans = (4, 6, 8)
+    mod = ConditioningEmbedding(embedding_channels=5, block_out_channels=chans)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    # zero-init conv_out -> exactly zero output
+    np.testing.assert_array_equal(np.asarray(mod.apply(params, x)), 0.0)
+    assert mod.apply(params, x).shape == (2, 16 // 2 ** (len(chans) - 1), 4, 5)
+
+    # randomize every leaf and compare against a torch replica
+    nprng = np.random.default_rng(1)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(nprng.normal(scale=0.1, size=p.shape), p.dtype), params
+    )
+    p = params["params"]
+
+    def tconv(name, h, stride=1):
+        w = torch.from_numpy(np.asarray(p[name]["kernel"], np.float32)).permute(3, 2, 0, 1)
+        b = torch.from_numpy(np.asarray(p[name]["bias"], np.float32))
+        return torch.nn.functional.conv2d(h, w, b, stride=stride, padding=1)
+
+    th = torch.from_numpy(np.asarray(x, np.float32)).permute(0, 3, 1, 2)
+    th = torch.nn.functional.silu(tconv("conv_in", th))
+    for i in range(len(chans) - 1):
+        th = torch.nn.functional.silu(tconv(f"blocks_{2*i}", th))
+        th = torch.nn.functional.silu(tconv(f"blocks_{2*i+1}", th, stride=2))
+    th = tconv("conv_out", th).permute(0, 2, 3, 1)
+
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(params, x)), th.numpy(), rtol=2e-4, atol=2e-5
+    )

@@ -41,29 +41,32 @@ def fetch(x):
     return float(np.asarray(x.ravel()[0], np.float32))
 
 
-def marginal_ms(apply_fn, x0, n_small=4, n_big=12, reps=3):
-    """(t(n_big) - t(n_small)) / (n_big - n_small), milliseconds."""
+def marginal_ms(apply_fn, params, x0, n_small=4, n_big=12, reps=3):
+    """(t(n_big) - t(n_small)) / (n_big - n_small), milliseconds.
+
+    ``params`` must be a runtime argument (NOT a closure): closed-over trees
+    bake into the HLO as constants and blow the remote-compile body limit."""
 
     def loop(n):
         @jax.jit
-        def run(x):
+        def run(p, x):
             def body(_, x):
-                return apply_fn(x)
+                return apply_fn(p, x)
 
             return jax.lax.fori_loop(0, n, body, x)
 
         return run
 
     run_s, run_b = loop(n_small), loop(n_big)
-    fetch(run_s(x0))  # compile
-    fetch(run_b(x0))
+    fetch(run_s(params, x0))  # compile
+    fetch(run_b(params, x0))
     ts, tb = [], []
     for _ in range(reps):
         t0 = time.time()
-        fetch(run_s(x0))
+        fetch(run_s(params, x0))
         ts.append(time.time() - t0)
         t0 = time.time()
-        fetch(run_b(x0))
+        fetch(run_b(params, x0))
         tb.append(time.time() - t0)
     return (min(tb) - min(ts)) / (n_big - n_small) * 1000
 
@@ -75,7 +78,7 @@ def resnet_case(hw, ch):
     x = jnp.zeros((B, hw, hw, ch), jnp.bfloat16)
     temb = jnp.zeros((B, TEMB), jnp.bfloat16)
     params = synth_params(mod, lambda: mod.init(jax.random.PRNGKey(0), x, temb))
-    ms = marginal_ms(lambda h: mod.apply(params, h, temb), x)
+    ms = marginal_ms(lambda p, h: mod.apply(p, h, temb), params, x)
     # 2 convs 3x3 ch->ch + temb proj (+GN etc.)
     flops = 2 * (2 * B * hw * hw * 9 * ch * ch) + 2 * B * TEMB * ch
     return ms, flops
@@ -106,9 +109,10 @@ def transformer_case(hw, ch, layers, heads):
         ),
     )
     ms = marginal_ms(
-        lambda h: mod.apply(
-            params, h, encoder_hidden_states=ctx, ip_hidden_states=ip, temb=temb
+        lambda p, h: mod.apply(
+            p, h, encoder_hidden_states=ctx, ip_hidden_states=ip, temb=temb
         ),
+        params,
         x,
     )
     s = hw * hw
@@ -136,14 +140,14 @@ def conv_sample_case(hw, ch, up):
 
     # output shape differs from input: time standalone pairs instead of a loop
     @jax.jit
-    def one(x):
-        return mod.apply(params, x)
+    def one(p, x):
+        return mod.apply(p, x)
 
-    fetch(one(x))
+    fetch(one(params, x))
     ts = []
     for _ in range(6):
         t0 = time.time()
-        fetch(one(x))
+        fetch(one(params, x))
         ts.append(time.time() - t0)
     out_hw = hw * 2 if up else hw // 2
     flops = 2 * B * out_hw * out_hw * 9 * ch * ch
