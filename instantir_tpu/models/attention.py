@@ -6,6 +6,8 @@ objects into modules, the behaviors are forward-time arguments —
 
   * plain self/cross attention               (AttnProcessor2_0, ``:323``)
   * + decoupled IP branch with AdaLN(temb)   (TA_IPAttnProcessor2_0, ``:1063-1207``)
+  * + external-KV injection, three modes     (concat ``:380-382``;
+    AdditiveKV ``:703-813``; TA_AdditiveKV ``:813-928``)
 
 The IP branch is a *second softmax* over the 64 image tokens with the same
 queries, added as ``out + ip_scale · ip_out`` — NOT a concatenated KV segment
@@ -36,6 +38,13 @@ class Attention(nn.Module):
       time_aware_ip: apply AdaLayerNorm(temb) to projected ip K/V.
       lora_rank: rank for the previewer LoRA on to_q/to_out (+to_k/to_v when
         ``lora_kv``); ip projections are always LoRA'd when present.
+      external_kv_mode: how ``external_kv`` tokens enter the attention —
+        ``"concat"`` appends them to the K/V sequence (the plain processor's
+        behavior, reference ``:380-382``); ``"additive"`` runs a *second*
+        attention over them and adds ``additive_scale · out``
+        (AdditiveKV_AttnProcessor2_0, ``:784-798``); ``"ta_additive"``
+        additionally AdaLayerNorm(temb)-modulates the external K/V first
+        (TA_AdditiveKV_AttnProcessor2_0, ``:903-907``).
     """
 
     query_dim: int
@@ -48,6 +57,8 @@ class Attention(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     lora_kv: bool = True
+    external_kv_mode: str = "concat"  # "concat" | "additive" | "ta_additive"
+    additive_scale: float = 1.0
     out_bias: bool = True
     use_flash: bool = True
     dtype: Dtype = jnp.float32
@@ -80,7 +91,7 @@ class Attention(nn.Module):
         k = LoRADense(inner_dim, use_bias=False, name="to_k", **lora_kv, **common)(context, lora_scale)
         v = LoRADense(inner_dim, use_bias=False, name="to_v", **lora_kv, **common)(context, lora_scale)
 
-        if external_kv is not None:
+        if external_kv is not None and self.external_kv_mode == "concat":
             # reference-attention injection: extra K/V tokens appended to the
             # sequence (``attention_processor.py:380-382``; KVCopy caches from
             # ``module/attention.py:112-143`` → models/kv_cache.py here)
@@ -92,6 +103,25 @@ class Attention(nn.Module):
         v = v.reshape(b, -1, self.heads, self.head_dim)
         out = dot_product_attention(q, k, v, use_flash=self.use_flash)
         out = out.reshape(b, n, inner_dim)
+
+        if external_kv is not None and self.external_kv_mode != "concat":
+            # AdditiveKV: a second attention with the same queries over the
+            # injected K/V, added as ``out + additive_scale · ext_out``
+            # (attention_processor.py:784-798); the TA variant AdaLN(temb)'s
+            # the external K/V first (:903-907).
+            if self.external_kv_mode not in ("additive", "ta_additive"):
+                raise ValueError(f"unknown external_kv_mode {self.external_kv_mode!r}")
+            ext_k = external_kv.k.astype(self.dtype)
+            ext_v = external_kv.v.astype(self.dtype)
+            if self.external_kv_mode == "ta_additive":
+                if temb is None:
+                    raise ValueError("external_kv_mode='ta_additive' requires temb")
+                ext_k = AdaLayerNorm(inner_dim, name="ln_k_ext", **common)(ext_k, temb)
+                ext_v = AdaLayerNorm(inner_dim, name="ln_v_ext", **common)(ext_v, temb)
+            ext_k = ext_k.reshape(b, -1, self.heads, self.head_dim)
+            ext_v = ext_v.reshape(b, -1, self.heads, self.head_dim)
+            ext_out = dot_product_attention(q, ext_k, ext_v, use_flash=self.use_flash)
+            out = out + jnp.asarray(self.additive_scale, out.dtype) * ext_out.reshape(b, n, inner_dim)
 
         if self.with_ip:
             if ip_hidden_states is None:

@@ -86,3 +86,80 @@ def test_drop_kvs_static_shapes(rng):
     orig = np.asarray(caches["mid"].self_attention.k)[0]
     for row in np.asarray(out["mid"].self_attention.k)[0]:
         assert any(np.allclose(row, o) for o in orig)
+
+
+def test_additive_external_kv_matches_torch_oracle(rng):
+    """external_kv_mode="additive" ≡ AdditiveKV_AttnProcessor2_0
+    (attention_processor.py:784-798): base self-attention plus
+    additive_scale · SDPA(q, ext_k, ext_v)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    scale = 0.7
+    attn = Attention(query_dim=DIM, heads=HEADS, head_dim=DIM // HEADS,
+                     use_flash=False, external_kv_mode="additive",
+                     additive_scale=scale)
+    x = jnp.asarray(rng.normal(size=(B, N, DIM)), jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.normal(size=(B, M, DIM)), jnp.float32),
+        v=jnp.asarray(rng.normal(size=(B, M, DIM)), jnp.float32),
+    )
+    params = attn.init(jax.random.PRNGKey(0), x, external_kv=cache)
+    out = attn.apply(params, x, external_kv=cache)
+
+    p = params["params"]
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    W = lambda node: t(node["base"]["kernel"])
+    hf = lambda a: a.view(B, -1, HEADS, DIM // HEADS).transpose(1, 2)
+
+    q = t(x) @ W(p["to_q"])
+    base = torch.nn.functional.scaled_dot_product_attention(
+        hf(q), hf(t(x) @ W(p["to_k"])), hf(t(x) @ W(p["to_v"])))
+    ext = torch.nn.functional.scaled_dot_product_attention(
+        hf(q), hf(t(cache.k)), hf(t(cache.v)))
+    merge = lambda a: a.transpose(1, 2).reshape(B, N, DIM)
+    expected = (merge(base) + scale * merge(ext)) @ W(p["to_out"]) + t(p["to_out"]["base"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), expected.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_ta_additive_external_kv_matches_torch_oracle(rng):
+    """external_kv_mode="ta_additive" ≡ TA_AdditiveKV_AttnProcessor2_0
+    (attention_processor.py:903-907): AdaLayerNorm(temb) on the injected K/V
+    before the additive attention."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    temb_dim = 20
+    attn = Attention(query_dim=DIM, heads=HEADS, head_dim=DIM // HEADS,
+                     use_flash=False, external_kv_mode="ta_additive")
+    x = jnp.asarray(rng.normal(size=(B, N, DIM)), jnp.float32)
+    temb = jnp.asarray(rng.normal(size=(B, temb_dim)), jnp.float32)
+    cache = KVCache(
+        k=jnp.asarray(rng.normal(size=(B, M, DIM)), jnp.float32),
+        v=jnp.asarray(rng.normal(size=(B, M, DIM)), jnp.float32),
+    )
+    params = attn.init(jax.random.PRNGKey(0), x, external_kv=cache, temb=temb)
+    # randomize the zero-init adaLN linears so the modulation is exercised
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.random.default_rng(1).normal(scale=0.1, size=a.shape), a.dtype), params
+    )
+    out = attn.apply(params, x, external_kv=cache, temb=temb)
+
+    p = params["params"]
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    W = lambda node: t(node["base"]["kernel"])
+    hf = lambda a: a.view(B, -1, HEADS, DIM // HEADS).transpose(1, 2)
+
+    def ada_ln(h, node):
+        emb = torch.nn.functional.silu(t(temb)) @ t(node["linear"]["base"]["kernel"]) + t(node["linear"]["base"]["bias"])
+        shift, sc = emb.view(B, 1, -1).chunk(2, dim=-1)
+        return torch.nn.functional.layer_norm(h, (h.shape[-1],), eps=1e-6) * (1 + sc) + shift
+
+    q = t(x) @ W(p["to_q"])
+    base = torch.nn.functional.scaled_dot_product_attention(
+        hf(q), hf(t(x) @ W(p["to_k"])), hf(t(x) @ W(p["to_v"])))
+    ext = torch.nn.functional.scaled_dot_product_attention(
+        hf(q), hf(ada_ln(t(cache.k), p["ln_k_ext"])), hf(ada_ln(t(cache.v), p["ln_v_ext"])))
+    merge = lambda a: a.transpose(1, 2).reshape(B, N, DIM)
+    expected = (merge(base) + merge(ext)) @ W(p["to_out"]) + t(p["to_out"]["base"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), expected.numpy(), rtol=2e-4, atol=2e-5)
