@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w_min", type=float, default=3.0)
     p.add_argument("--w_max", type=float, default=15.0)
     p.add_argument("--synthetic_data", action="store_true", help="procedural data (smoke tests)")
+    p.add_argument(
+        "--gradient_checkpointing", action="store_true",
+        help="rematerialize UNet/Aggregator blocks in the backward pass "
+        "(reference train_*_*.py --gradient_checkpointing)",
+    )
     return p
 
 
@@ -213,6 +218,17 @@ def main(argv=None):
 
     losses_cfg = load_losses_config(args.losses_config) if os.path.exists(args.losses_config) else None
     pipe = _build_models(args)
+    if args.gradient_checkpointing:
+        # param trees are identical with the flag on, so the loaded params
+        # stay valid (models/unet.py remat note)
+        import dataclasses
+
+        pipe.unet = pipe.unet.clone(
+            config=dataclasses.replace(pipe.unet.config, gradient_checkpointing=True)
+        )
+        pipe.aggregator = pipe.aggregator.clone(
+            config=dataclasses.replace(pipe.aggregator.config, gradient_checkpointing=True)
+        )
     cond = _conditioning(args, pipe, args.train_batch_size)
     data = _data_iter(args)
 

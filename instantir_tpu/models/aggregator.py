@@ -142,6 +142,14 @@ class Aggregator(nn.Module):
         timesteps = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timesteps)), (b,))
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
+        # per-block activation remat (the reference's --gradient_checkpointing
+        # -> aggregator.enable_gradient_checkpointing(),
+        # train_stage2_aggregator.py:1066-1068); param tree unchanged
+        remat = nn.remat if cfg.gradient_checkpointing else (lambda c: c)
+        _CrossDown, _Down, _Mid = (
+            remat(CrossAttnDownBlock2D), remat(DownBlock2D), remat(UNetMidBlock2DCrossAttn)
+        )
+
         # 1. time + added embeddings (same text_time scheme as the UNet)
         t_emb = get_timestep_embedding(
             timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
@@ -187,7 +195,7 @@ class Aggregator(nn.Module):
             out_ch = cfg.block_out_channels[i]
             if block_type == "CrossAttnDownBlock2D":
                 heads = cfg.num_attention_heads[i]
-                x, res = CrossAttnDownBlock2D(
+                x, res = _CrossDown(
                     out_channels=out_ch,
                     temb_channels=cfg.time_embed_dim,
                     heads=heads,
@@ -204,7 +212,7 @@ class Aggregator(nn.Module):
                     **common,
                 )(x, emb, attn_temb=attn_temb, ref_scale=ref_scale)
             else:
-                x, res = DownBlock2D(
+                x, res = _Down(
                     out_channels=out_ch,
                     temb_channels=cfg.time_embed_dim,
                     num_layers=cfg.layers_per_block,
@@ -221,7 +229,7 @@ class Aggregator(nn.Module):
         # 4. mid
         heads = cfg.num_attention_heads[-1]
         mid_ch = cfg.block_out_channels[-1]
-        x = UNetMidBlock2DCrossAttn(
+        x = _Mid(
             in_channels=mid_ch,
             temb_channels=cfg.time_embed_dim,
             heads=heads,

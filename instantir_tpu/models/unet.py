@@ -68,6 +68,11 @@ class UNetConfig:
     # GroupNorm-SFT modulation with zero-init convs at every skip + mid,
     # module/unet/unet_2d_ZeroSFT.py:81-136,486,1351)
     residual_fusion: str = "add"
+    # rematerialize each down/mid/up block in the backward pass instead of
+    # storing its activations (the reference's --gradient_checkpointing →
+    # unet.enable_gradient_checkpointing(), train_stage1_adapter.py:808-810,
+    # train_stage2_aggregator.py:1066-1068); jax.checkpoint per block
+    gradient_checkpointing: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -148,6 +153,13 @@ class UNet2DConditionModel(nn.Module):
         lora = dict(lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha)
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
+        # activation rematerialization: nn.remat preserves module naming, so
+        # the param tree is identical with the flag on or off
+        remat = nn.remat if cfg.gradient_checkpointing else (lambda c: c)
+        _CrossDown, _Down = remat(CrossAttnDownBlock2D), remat(DownBlock2D)
+        _Mid = remat(UNetMidBlock2DCrossAttn)
+        _CrossUp, _Up = remat(CrossAttnUpBlock2D), remat(UpBlock2D)
+
         # 2. conv_in (never LoRA'd — not in PREVIEWER_LORA_MODULES)
         sample = LoRAConv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **common)(sample)
 
@@ -158,7 +170,7 @@ class UNet2DConditionModel(nn.Module):
             out_ch = cfg.block_out_channels[i]
             if block_type == "CrossAttnDownBlock2D":
                 heads = cfg.num_attention_heads[i]
-                sample, res = CrossAttnDownBlock2D(
+                sample, res = _CrossDown(
                     out_channels=out_ch,
                     temb_channels=cfg.time_embed_dim,
                     heads=heads,
@@ -184,7 +196,7 @@ class UNet2DConditionModel(nn.Module):
                     ip_scale=ip_scale,
                 )
             else:
-                sample, res = DownBlock2D(
+                sample, res = _Down(
                     out_channels=out_ch,
                     temb_channels=cfg.time_embed_dim,
                     num_layers=cfg.layers_per_block,
@@ -217,7 +229,7 @@ class UNet2DConditionModel(nn.Module):
         # 4. mid
         heads = cfg.num_attention_heads[-1]
         mid_ch = cfg.block_out_channels[-1]
-        sample = UNetMidBlock2DCrossAttn(
+        sample = _Mid(
             in_channels=mid_ch,
             temb_channels=cfg.time_embed_dim,
             heads=heads,
@@ -261,7 +273,7 @@ class UNet2DConditionModel(nn.Module):
             down_res_samples = down_res_samples[:-num_res]
             if block_type == "CrossAttnUpBlock2D":
                 heads = tuple(reversed(cfg.num_attention_heads))[i]
-                sample = CrossAttnUpBlock2D(
+                sample = _CrossUp(
                     out_channels=out_ch,
                     temb_channels=cfg.time_embed_dim,
                     heads=heads,
@@ -288,7 +300,7 @@ class UNet2DConditionModel(nn.Module):
                     ip_scale=ip_scale,
                 )
             else:
-                sample = UpBlock2D(
+                sample = _Up(
                     out_channels=out_ch,
                     temb_channels=cfg.time_embed_dim,
                     num_layers=num_res,

@@ -40,3 +40,30 @@ def triplet_strip(lq: np.ndarray, restored: np.ndarray, gt: Optional[np.ndarray]
     if gt is not None:
         panels.append(add_text_to_image(gt, "GT"))
     return np.concatenate(panels, axis=1)
+
+
+def calc_mean_std(feat, eps: float = 1e-5):
+    """Per-sample, per-channel spatial mean/std of an NHWC feature tensor
+    (reference ``infer.py:90-105`` — NCHW there; unused by the live CLI but
+    part of its AdaIN color-transfer surface). Returns [B, 1, 1, C] pairs.
+
+    Matches torch ``var(dim)`` semantics: unbiased variance, eps added to the
+    variance before the sqrt.
+    """
+    import jax.numpy as jnp
+
+    b, h, w, c = feat.shape
+    flat = feat.reshape(b, h * w, c)
+    mean = flat.mean(axis=1)[:, None, None, :]
+    n = h * w
+    var = flat.var(axis=1) * (n / max(n - 1, 1))  # unbiased, like torch .var
+    std = jnp.sqrt(var + eps)[:, None, None, :]
+    return mean, std
+
+
+def adaptive_instance_normalization(content_feat, style_feat):
+    """AdaIN: re-statistic ``content_feat`` to ``style_feat``'s per-channel
+    spatial mean/std (reference ``infer.py:107-111``). NHWC in/out."""
+    style_mean, style_std = calc_mean_std(style_feat)
+    content_mean, content_std = calc_mean_std(content_feat)
+    return (content_feat - content_mean) / content_std * style_std + style_mean

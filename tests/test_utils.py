@@ -64,3 +64,27 @@ def test_phase_timer():
         pass
     s = t.summary()
     assert "a" in s and s["a"] >= 0
+
+
+def test_adain_matches_torch_oracle(rng):
+    """NHWC AdaIN vs the reference's torch math (infer.py:90-111)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from instantir_tpu.utils.vis import adaptive_instance_normalization
+
+    content = rng.normal(size=(2, 6, 5, 3)).astype(np.float32)
+    style = rng.normal(loc=1.0, scale=2.0, size=(2, 6, 5, 3)).astype(np.float32)
+    got = np.asarray(adaptive_instance_normalization(jnp.asarray(content), jnp.asarray(style)))
+
+    def t_stats(feat, eps=1e-5):
+        b, c = feat.shape[:2]
+        var = feat.view(b, c, -1).var(dim=2) + eps
+        return feat.view(b, c, -1).mean(dim=2).view(b, c, 1, 1), var.sqrt().view(b, c, 1, 1)
+
+    tc = torch.from_numpy(content.transpose(0, 3, 1, 2))
+    ts = torch.from_numpy(style.transpose(0, 3, 1, 2))
+    sm, ss = t_stats(ts)
+    cm, cs = t_stats(tc)
+    want = ((tc - cm) / cs * ss + sm).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
