@@ -55,6 +55,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w_min", type=float, default=3.0)
     p.add_argument("--w_max", type=float, default=15.0)
     p.add_argument("--synthetic_data", action="store_true", help="procedural data (smoke tests)")
+    p.add_argument("--validation_steps", type=int, default=0, help="0 disables periodic validation")
+    p.add_argument(
+        "--validation_image", type=str, nargs="*", default=None,
+        help="LQ image path(s) rendered every --validation_steps "
+        "(reference --validation_image, train_stage1_adapter.py:509-516)",
+    )
+    p.add_argument(
+        "--use_8bit_adam", action="store_true",
+        help="blockwise-int8 Adam moment storage (reference --use_8bit_adam / bnb AdamW8bit)",
+    )
+    p.add_argument(
+        "--scale_lr", action="store_true",
+        help="scale lr by gradient_accumulation_steps x global batch "
+        "(reference train_stage1_adapter.py:817-820)",
+    )
     p.add_argument(
         "--gradient_checkpointing", action="store_true",
         help="rematerialize UNet/Aggregator blocks in the backward pass "
@@ -212,12 +227,30 @@ def _export_instantir_config(pipe, output_dir: str):
         )
 
 
+def _val_batch(args):
+    """[-1,1] NHWC float batch from --validation_image paths (LQ in; GT = the
+    same images, matching the reference's LQ-only validation rendering)."""
+    if not (args.validation_steps > 0 and args.validation_image):
+        return None
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    imgs = []
+    for path in args.validation_image:
+        im = Image.open(path).convert("RGB").resize((args.resolution, args.resolution), Image.BICUBIC)
+        imgs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+    arr = jnp.asarray(np.stack(imgs))
+    return {"lq": arr, "gt": arr}
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from instantir_tpu.losses import load_losses_config
 
     losses_cfg = load_losses_config(args.losses_config) if os.path.exists(args.losses_config) else None
     pipe = _build_models(args)
+    val_batch = _val_batch(args)
     if args.gradient_checkpointing:
         # param trees are identical with the flag on, so the loaded params
         # stay valid (models/unet.py remat note)
@@ -232,12 +265,20 @@ def main(argv=None):
     cond = _conditioning(args, pipe, args.train_batch_size)
     data = _data_iter(args)
 
+    if args.scale_lr:
+        # the reference multiplies by per-GPU batch × num_processes
+        # (train_stage1_adapter.py:817-820); train_batch_size here is already
+        # the global batch, so the product is identical
+        args.learning_rate *= args.gradient_accumulation_steps * args.train_batch_size
+
     shared = dict(
         output_dir=args.output_dir,
         max_train_steps=args.max_train_steps,
         train_batch_size=args.train_batch_size,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         learning_rate=args.learning_rate,
+        use_8bit_adam=args.use_8bit_adam,
+        validation_steps=args.validation_steps,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         resolution=args.resolution,
@@ -255,7 +296,7 @@ def main(argv=None):
         trainer = Stage1Trainer(
             pipe.unet, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
         )
-        trainer.run(data, cond)
+        trainer.run(data, cond, val_batch=val_batch)
         trainer.export_adapter(os.path.join(args.output_dir, "adapter_ckpt.pt"))
         _export_instantir_config(pipe, args.output_dir)
     elif args.stage == "previewer":
@@ -268,7 +309,7 @@ def main(argv=None):
         trainer = PreviewerTrainer(
             pipe.unet, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
         )
-        trainer.run(data, cond)
+        trainer.run(data, cond, val_batch=val_batch)
         trainer.export_lora(os.path.join(args.output_dir, "previewer_lora_weights.bin"))
         _export_instantir_config(pipe, args.output_dir)
     else:
@@ -283,7 +324,7 @@ def main(argv=None):
         trainer = Stage2Trainer(
             pipe.unet, pipe.aggregator, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
         )
-        trainer.run(data, cond)
+        trainer.run(data, cond, val_batch=val_batch)
         trainer.export_aggregator(os.path.join(args.output_dir, "aggregator.pt"))
         _export_instantir_config(pipe, args.output_dir)
 

@@ -246,8 +246,16 @@ def make_adamw(
     b2: float = 0.999,
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = 1.0,
+    use_8bit: bool = False,
 ) -> optax.GradientTransformation:
-    tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    if use_8bit:
+        # the reference's optional bnb.optim.AdamW8bit
+        # (train_stage1_adapter.py:822-833) — blockwise int8 moments
+        from instantir_tpu.train.adam8bit import adamw8bit
+
+        tx = adamw8bit(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    else:
+        tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx

@@ -46,6 +46,7 @@ class Stage1Config:
     lr_scheduler: str = "cosine"
     lr_warmup_steps: int = 100
     weight_decay: float = 1e-2
+    use_8bit_adam: bool = False  # blockwise-int8 Adam moments (bnb AdamW8bit)
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     resolution: int = 512
@@ -172,6 +173,7 @@ class Stage1Trainer:
         self.tx = common.make_adamw(
             common.lr_schedule(cfg.lr_scheduler, cfg.learning_rate, cfg.lr_warmup_steps, cfg.max_train_steps),
             weight_decay=cfg.weight_decay,
+            use_8bit=cfg.use_8bit_adam,
             max_grad_norm=cfg.max_grad_norm,
         )
         if cfg.gradient_accumulation_steps > 1:

@@ -139,3 +139,22 @@ def test_build_losses_and_yaml(tmp_path):
     # unavailable losses fail fast at construction
     with pytest.raises(NotImplementedError):
         build_losses([SingleLossConfig(name="LPIPSLoss")])
+
+
+def test_cli_val_batch_builder(tmp_path):
+    """--validation_image paths become a [-1,1] NHWC val batch."""
+    from PIL import Image
+
+    from instantir_tpu.cli.train import _val_batch, build_parser
+
+    img = tmp_path / "lq.png"
+    Image.fromarray((np.random.default_rng(0).uniform(0, 255, (40, 50, 3))).astype(np.uint8)).save(img)
+    args = build_parser().parse_args(
+        ["stage1", "--validation_steps", "5", "--validation_image", str(img), "--resolution", "32"]
+    )
+    vb = _val_batch(args)
+    assert vb["lq"].shape == (1, 32, 32, 3) == vb["gt"].shape
+    assert float(vb["lq"].min()) >= -1.0 and float(vb["lq"].max()) <= 1.0
+    # disabled when validation_steps is 0
+    args = build_parser().parse_args(["stage1", "--validation_image", str(img)])
+    assert _val_batch(args) is None
