@@ -327,12 +327,18 @@ def main():
     # at 1024² on one 16 GB v5e: base+merged arguments are 13.7 GB and the
     # sampler needs ~2.3 GB of temps (incl. ~0.65 GB XLA fragmentation).
     # It fits at <=768²; the 1024² headline runs the dynamic LoRA branch.
+    # BENCH_SHARED_CFG=1 → CFG single-pass control branch (preview/aggregator
+    # on the text half only; opt-in approximation, docs/perf.md). The default
+    # headline stays parity-exact with the reference.
+    shared = os.environ.get("BENCH_SHARED_CFG") == "1"
     cfg = RestoreConfig(
         num_inference_steps=steps,
         guidance_scale=7.0,
         preview_start=0.1,
         control_guidance_end=0.7,
         decode_dtype=os.environ.get("BENCH_DECODE", "float32"),
+        preview_cfg=not shared,
+        controlnet_cfg=not shared,
     )
 
     rng = np.random.default_rng(0)

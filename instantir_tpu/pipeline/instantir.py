@@ -83,6 +83,21 @@ class RestoreConfig:
     # ``InstantIRPipeline.freeze_previewer`` instead, which merges once and
     # frees the LoRA pairs.
     fuse_previewer_lora: bool = False
+    # CFG single-pass control branch (opt-in approximations; defaults are
+    # parity-exact with the reference, which runs previewer and aggregator on
+    # the doubled CFG batch, sdxl_instantir.py:1545-1616):
+    #  * preview_cfg=False — run the one-step LCM previewer only on the
+    #    text-cond half and reuse that preview for the uncond aggregator
+    #    branch (LCM students have guidance distilled in; the uncond preview
+    #    differs only through uncond ip tokens). Halves previewer cost.
+    #  * controlnet_cfg=False — run the aggregator only on the text-cond half
+    #    and reuse its residuals for the uncond branch (the halves differ
+    #    only via pooled-embed conditioning; cf. diffusers' guess_mode-style
+    #    cond-only ControlNet). Halves aggregator cost.
+    # Exact when uncond conditioning equals cond conditioning; measured
+    # divergence + speedup in docs/perf.md.
+    preview_cfg: bool = True
+    controlnet_cfg: bool = True
     adastep_restore: bool = False
     save_preview_row: bool = False
     # VAE decode dtype: "float32" (reference force_upcast — its fp16 VAE
@@ -401,13 +416,23 @@ class InstantIRPipeline:
                     )
                     return (latents, key, preview_factor, prev_preview), ()
 
-                # A/B: controlnet active
+                # A/B: controlnet active. The CFG batch layout is
+                # [uncond, text]; the share_* flags compute the control branch
+                # on the text half only and broadcast it (RestoreConfig note).
+                share_preview = do_cfg and not cfg.preview_cfg
+                share_cnet = do_cfg and not cfg.controlnet_cfg
                 if mode == "B":
+                    p_lat = latents if share_preview else latent_in
+                    p_tb = tb[:bsz] if share_preview else tb
+                    p_cond = {k: v[-bsz:] for k, v in cond.items()} if share_preview else cond
+                    p_ip = ip_lora[-bsz:] if share_preview else ip_lora
                     if prev_params is not None:  # merged-LoRA weights, static skip
-                        preview_noise = unet_apply(prev_params, latent_in, tb, cond, 0.0, ip_lora)
+                        preview_noise = unet_apply(prev_params, p_lat, p_tb, p_cond, 0.0, p_ip)
                     else:
-                        preview_noise = unet_apply(params, latent_in, tb, cond, cfg.lora_alpha, ip_lora)
-                    preview_latent = lcm_single_step(schedule, preview_noise, tb, latent_in)
+                        preview_noise = unet_apply(params, p_lat, p_tb, p_cond, cfg.lora_alpha, p_ip)
+                    preview_latent = lcm_single_step(schedule, preview_noise, p_tb, p_lat)
+                    if share_preview:
+                        preview_latent = double(preview_latent)
                 elif reference_latents is not None:
                     preview_latent = reference_latents  # caller-supplied (reference :1579-1580)
                 else:
@@ -415,12 +440,15 @@ class InstantIRPipeline:
 
                 down_res, mid_res = aggregator.apply(
                     params["aggregator"],
-                    image_latent,
-                    tb,
-                    controlnet_cond=preview_latent.astype(latents.dtype),
-                    added_text_embeds=cond["pooled_embeds"],
-                    added_time_ids=cond["time_ids"],
+                    image_latent[-bsz:] if share_cnet else image_latent,
+                    tb[:bsz] if share_cnet else tb,
+                    controlnet_cond=(preview_latent[-bsz:] if share_cnet else preview_latent).astype(latents.dtype),
+                    added_text_embeds=cond["pooled_embeds"][-bsz:] if share_cnet else cond["pooled_embeds"],
+                    added_time_ids=cond["time_ids"][-bsz:] if share_cnet else cond["time_ids"],
                 )
+                if share_cnet:
+                    down_res = tuple(double(r) for r in down_res)
+                    mid_res = double(mid_res)
 
                 # adaptive restoration scaling (reference :1538-1540)
                 ada = jnp.clip(preview_factor, 0.0, cfg.controlnet_conditioning_scale)

@@ -184,3 +184,43 @@ def test_stage1_inplace_lora_merge_matches_dynamic(pipe, rng):
         return n[0]
 
     assert count_lora(merged.params["unet"]) == 0
+
+
+def test_cfg_shared_control_branch_exact_when_branches_identical(pipe, rng):
+    """preview_cfg/controlnet_cfg=False share the text-half control branch
+    across CFG. With identical cond/uncond conditioning (zero LQ → identical
+    ip tokens; negatives = positives) the CFG halves are the same, so the
+    shared path must reproduce the full path exactly."""
+    b = 1
+    cross = pipe.unet.config.cross_attention_dim
+    pooled_dim = (
+        pipe.unet.config.projection_class_embeddings_input_dim - pipe.unet.config.addition_time_embed_dim * 6
+    )
+    lq = jnp.zeros((b, 32, 32, 3), jnp.float32)  # == the uncond zero image
+    pe = jnp.asarray(rng.normal(size=(b, 7, cross)), jnp.float32)
+    pp = jnp.asarray(rng.normal(size=(b, pooled_dim)), jnp.float32)
+    kw = dict(negative_prompt_embeds=pe, negative_pooled_embeds=pp,
+              output_type="latent", key=jax.random.PRNGKey(3))
+
+    full = RestoreConfig(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25)
+    shared = RestoreConfig(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25,
+                           preview_cfg=False, controlnet_cfg=False)
+    lat_f, _ = pipe.restore(lq, pe, pp, cfg=full, **kw)
+    lat_s, _ = pipe.restore(lq, pe, pp, cfg=shared, **kw)
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_f), rtol=1e-4, atol=1e-5)
+
+
+def test_cfg_shared_control_branch_diverges_bounded(pipe, rng):
+    """With real (different) uncond conditioning the shared path is an
+    approximation: finite, same shape, and not wildly off the full path."""
+    lq, pe, pp = _inputs(pipe, rng)
+    kw = dict(output_type="latent", key=jax.random.PRNGKey(4))
+    full = RestoreConfig(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25)
+    shared = RestoreConfig(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25,
+                           preview_cfg=False, controlnet_cfg=False)
+    lat_f, _ = pipe.restore(lq, pe, pp, cfg=full, **kw)
+    lat_s, _ = pipe.restore(lq, pe, pp, cfg=shared, **kw)
+    assert lat_s.shape == lat_f.shape
+    assert np.isfinite(np.asarray(lat_s)).all()
+    rel = float(np.linalg.norm(np.asarray(lat_s - lat_f)) / np.linalg.norm(np.asarray(lat_f)))
+    assert rel < 0.5, rel

@@ -101,3 +101,40 @@ def test_zero1_spec_axis_choice(bundle):
     assert s.spec == jax.sharding.PartitionSpec()
     s = zero1_spec(jnp.zeros((5, 7)), mesh)
     assert s.spec == jax.sharding.PartitionSpec()
+
+
+def test_zero1_composes_with_8bit_adam(bundle):
+    """ZeRO-1 sharding over the int8 moment blocks trains identically to the
+    unsharded 8-bit optimizer and still distributes the big leaves."""
+    import dataclasses
+
+    def train8(zero1):
+        mesh = make_mesh(num_devices=BATCH)
+        cfg = Stage2Config(
+            output_dir="", max_train_steps=1, train_batch_size=BATCH, resolution=RES,
+            use_ema_adapter=False, checkpointing_steps=10**9, resume_from_checkpoint=None,
+            shard_optimizer_state=zero1, use_8bit_adam=True,
+        )
+        tr = Stage2Trainer(
+            bundle.unet, bundle.aggregator, bundle.resampler, bundle.vae, bundle.image_encoder,
+            bundle.params, cfg, mesh=mesh,
+        )
+        cond = _cond(bundle, BATCH)
+        data = SyntheticImageDataset(seed=0).batches(batch_size=BATCH, gt_size=RES * 4)
+        batch = tr.prepare_batch(next(data), cond, jax.random.PRNGKey(10))
+        m = tr.train_step(batch, jax.random.PRNGKey(20))
+        return tr, float(m["loss"])
+
+    tr_z, loss_z = train8(True)
+    tr_r, loss_r = train8(False)
+    np.testing.assert_allclose(loss_z, loss_r, rtol=1e-5, atol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(tr_z.trainable), jax.tree_util.tree_leaves(tr_r.trainable)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4, atol=1e-5)
+    # int8 moment blocks actually sharded
+    leaves = jax.tree_util.tree_leaves(tr_z.opt_state)
+    int8_sharded = [
+        l for l in leaves
+        if getattr(l, "dtype", None) == jnp.int8
+        and any(p is not None for p in getattr(getattr(l, "sharding", None), "spec", ()))
+    ]
+    assert int8_sharded, "no int8 moment leaf is sharded"
