@@ -362,6 +362,35 @@ def main():
     dt = min(times)
     ips = batch / dt
 
+    detail = {
+        "sec_per_image": round(dt / batch, 2),
+        "first_call_s": round(compile_s, 1),
+        "times": [round(t, 2) for t in times],
+    }
+    if not shared and os.environ.get("BENCH_SKIP_SHARED") != "1":
+        # also measure the opt-in CFG single-pass control branch
+        # (docs/perf.md) — reported in the detail line; the headline metric
+        # stays the parity-exact configuration
+        import dataclasses as _dc
+
+        fast_cfg = _dc.replace(cfg, preview_cfg=False, controlnet_cfg=False)
+
+        def run_fast(seed):
+            image, _ = pipe.restore(lq, pe, pooled, cfg=fast_cfg, key=jax.random.PRNGKey(seed))
+            return float(np.asarray(image[0, 0, 0, 0], dtype=np.float32))
+
+        run_fast(0)  # compile (persistent-cached)
+        fast_times = []
+        for i in range(repeats):
+            t0 = time.time()
+            run_fast(i + 1)
+            fast_times.append(time.time() - t0)
+        detail["shared_cfg"] = {
+            "sec_per_image": round(min(fast_times) / batch, 2),
+            "images_per_sec": round(batch / min(fast_times), 4),
+            "note": "opt-in preview_cfg/controlnet_cfg=False (non-parity)",
+        }
+
     result = {
         "metric": f"images/sec/chip ({res}², {steps}-step InstantIR, CFG 7, preview 0.1, creative 0.7, batch {batch})",
         "value": round(ips, 4),
@@ -369,10 +398,7 @@ def main():
         "vs_baseline": round(ips / A100_REF_IMG_PER_SEC, 2),
     }
     print(json.dumps(result))
-    print(
-        json.dumps({"detail": {"sec_per_image": round(dt / batch, 2), "first_call_s": round(compile_s, 1), "times": [round(t, 2) for t in times]}}),
-        file=sys.stderr,
-    )
+    print(json.dumps({"detail": detail}), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -287,6 +287,18 @@ def load_instantir_pipeline(
     adapter_file = adapter_path or (instantir_path and os.path.join(instantir_path, "adapter.pt"))
     if adapter_file and os.path.exists(adapter_file):
         adapter_sd = t2f.load_torch_state_dict(adapter_file)
+        if any(k.startswith(("image_proj_model.", "adapter_modules.")) for k in adapter_sd):
+            # legacy flat IP-Adapter checkpoints (the reference's
+            # revise_state_dict, module/ip_adapter/utils.py:164-178)
+            adapter_sd = {
+                (
+                    "image_proj." + k[len("image_proj_model."):]
+                    if k.startswith("image_proj_model.")
+                    else "ip_adapter." + k[len("adapter_modules."):]
+                ): v
+                for k, v in adapter_sd.items()
+                if k.startswith(("image_proj_model.", "adapter_modules."))
+            }
         image_proj_sd = {k[len("image_proj."):]: v for k, v in adapter_sd.items() if k.startswith("image_proj.")}
         ip_sd = {k[len("ip_adapter."):]: v for k, v in adapter_sd.items() if k.startswith("ip_adapter.")}
         unet_tree = t2f.merge_ip_adapter(unet_tree, ip_sd, unet_cfg, strict=strict)

@@ -199,3 +199,37 @@ def test_cli_infer_end_to_end(checkpoint_tree, tmp_path):
         # original aspect preserved on the way out (resize-back path)
         assert img.shape[-1] == 3 and img.size > 0
         assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_legacy_adapter_checkpoint_format(checkpoint_tree, tmp_path):
+    """Flat legacy IP-Adapter checkpoints (image_proj_model.* /
+    adapter_modules.*) load identically to the {image_proj, ip_adapter}
+    format (the reference's revise_state_dict, module/ip_adapter/utils.py:164)."""
+    import torch
+
+    from instantir_tpu.pipeline.load import load_instantir_pipeline
+
+    std = torch.load(checkpoint_tree / "instantir" / "adapter.pt", map_location="cpu", weights_only=True)
+    legacy = {f"image_proj_model.{k}": v for k, v in std["image_proj"].items()}
+    legacy.update({f"adapter_modules.{k}": v for k, v in std["ip_adapter"].items()})
+    legacy_path = tmp_path / "legacy_adapter.pt"
+    torch.save(legacy, legacy_path)
+
+    kw = dict(vision_encoder_path=str(checkpoint_tree / "dinov2"))
+    pipe_a = load_instantir_pipeline(
+        str(checkpoint_tree / "sdxl"), str(checkpoint_tree / "instantir"), **kw
+    )
+    pipe_b = load_instantir_pipeline(
+        str(checkpoint_tree / "sdxl"), str(checkpoint_tree / "instantir"),
+        adapter_path=str(legacy_path), **kw,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pipe_a.params["resampler"]),
+        jax.tree_util.tree_leaves(pipe_b.params["resampler"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pipe_a.params["unet"]),
+        jax.tree_util.tree_leaves(pipe_b.params["unet"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
