@@ -17,4 +17,5 @@ python -m instantir_tpu.cli.train previewer \
     --resolution 512 \
     --checkpointing_steps 2000 \
     --resume_from_checkpoint latest \
+    --gradient_checkpointing \
     "$@"

@@ -12,9 +12,10 @@ python -m instantir_tpu.cli.train stage1 \
     --train_batch_size 96 \
     --learning_rate 1e-4 \
     --lr_scheduler cosine \
-    --lr_warmup_steps 100 \
+    --lr_warmup_steps 1000 \
     --resolution 512 \
     --image_drop_rate 0.05 \
     --checkpointing_steps 2000 \
     --resume_from_checkpoint latest \
+    --gradient_checkpointing \
     "$@"

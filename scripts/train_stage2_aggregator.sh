@@ -20,4 +20,5 @@ python -m instantir_tpu.cli.train stage2 \
     --use_ema_adapter \
     --checkpointing_steps 2000 \
     --resume_from_checkpoint latest \
+    --gradient_checkpointing \
     "$@"
