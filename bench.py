@@ -330,7 +330,12 @@ def main():
     # BENCH_SHARED_CFG=1 → CFG single-pass control branch (preview/aggregator
     # on the text half only; opt-in approximation, docs/perf.md). The default
     # headline stays parity-exact with the reference.
+    # BENCH_FUSED=1 → whole-restore single program (cfg.fused). Measured
+    # NEUTRAL-to-slightly-slower here (9.18-9.24 vs 9.0 s staged): JAX's
+    # async dispatch already overlaps the staged stages' relay latency, and
+    # the mega-program schedules slightly worse (docs/perf.md). Default off.
     shared = os.environ.get("BENCH_SHARED_CFG") == "1"
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
     cfg = RestoreConfig(
         num_inference_steps=steps,
         guidance_scale=7.0,
@@ -339,6 +344,7 @@ def main():
         decode_dtype=os.environ.get("BENCH_DECODE", "float32"),
         preview_cfg=not shared,
         controlnet_cfg=not shared,
+        fused=fused,
     )
 
     rng = np.random.default_rng(0)
@@ -366,6 +372,7 @@ def main():
         "sec_per_image": round(dt / batch, 2),
         "first_call_s": round(compile_s, 1),
         "times": [round(t, 2) for t in times],
+        "fused": fused,
     }
     if not shared and os.environ.get("BENCH_SKIP_SHARED") != "1":
         # also measure the opt-in CFG single-pass control branch

@@ -95,6 +95,7 @@ class InstantIRApp:
         width: int = 1024,
         preview_start: float = 0.0,
         save_preview_row: bool = False,
+        fused: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -121,6 +122,7 @@ class InstantIRApp:
             preview_start=float(preview_start),
             control_guidance_end=float(guidance_end),
             save_preview_row=bool(save_preview_row),
+            fused=bool(fused),
         )
         image, previews = self.pipe.restore(
             lq, pe, pooled, negative_prompt_embeds=npe, negative_pooled_embeds=npooled,

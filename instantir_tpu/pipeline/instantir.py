@@ -108,6 +108,13 @@ class RestoreConfig:
     timestep_spacing: str = "leading"
     steps_offset: int = 1
     timesteps: Optional[Tuple[int, ...]] = None  # custom descending sequence (static)
+    # Compile the WHOLE restore call (VAE encode → DINOv2 → Resampler →
+    # init-noise → denoise scans → VAE decode) into one XLA program instead
+    # of ~7 separately-jitted stages. Same math, same RNG stream — only the
+    # per-stage dispatch boundaries disappear (~35 ms each through this
+    # environment's TPU relay ≈ 0.2 s/image). Costs one bigger first-call
+    # compile; staged/fused latent agreement is tested.
+    fused: bool = False
 
     @property
     def do_cfg(self) -> bool:
@@ -291,18 +298,23 @@ class InstantIRPipeline:
         constant), so they are computed once and cached across calls."""
         pixels = preprocess_dinov2(lq_images)
         cond = self._jit_dino(params, pixels)
-        # identity check against a STRONG reference — id() alone can be
-        # reused after GC and silently serve stale embeddings
-        cache_key = (pixels.shape[1:], str(pixels.dtype))
+        uncond_tokens = self._ensure_uncond_tokens(params, pixels.shape[1:], pixels.dtype)
+        uncond = jnp.broadcast_to(uncond_tokens, cond.shape)
+        return cond, uncond
+
+    def _ensure_uncond_tokens(self, params, pixel_shape, pixel_dtype):
+        """DINOv2 tokens of the zero image — parameter-only, cached across
+        calls. The identity check is against a STRONG reference — id() alone
+        can be reused after GC and silently serve stale embeddings."""
+        cache_key = (tuple(pixel_shape), str(pixel_dtype))
         if (
             getattr(self, "_uncond_cache_params", None) is not params["image_encoder"]
             or getattr(self, "_uncond_cache_key", None) != cache_key
         ):
-            self._uncond_tokens = self._jit_dino(params, jnp.zeros((1,) + pixels.shape[1:], pixels.dtype))
+            self._uncond_tokens = self._jit_dino(params, jnp.zeros((1,) + tuple(pixel_shape), pixel_dtype))
             self._uncond_cache_params = params["image_encoder"]
             self._uncond_cache_key = cache_key
-        uncond = jnp.broadcast_to(self._uncond_tokens, cond.shape)
-        return cond, uncond
+        return self._uncond_tokens
 
     def project_ip_tokens(self, params, dino_tokens: jnp.ndarray, lora_scale=0.0) -> jnp.ndarray:
         """Resampler projection. The previewer LoRA also lives in the
@@ -321,16 +333,19 @@ class InstantIRPipeline:
         (bf16 has fp32's exponent) at somewhat lower mantissa precision."""
         key = str(dtype)
         if key not in self._jit_decode_cache:
-            vae = self.vae
-            if dtype is not None and dtype != vae.dtype:
-                vae = AutoencoderKL(self.vae.config, dtype=dtype)
-
-            def _decode(p, z):
-                z = unscale_latents(vae.config, z.astype(dtype or jnp.float32))
-                return vae.apply(p["vae"], z, method=vae.decode)
-
-            self._jit_decode_cache[key] = jax.jit(_decode)
+            self._jit_decode_cache[key] = jax.jit(self._build_decode(dtype))
         return self._jit_decode_cache[key](params, latents)
+
+    def _build_decode(self, dtype=None):
+        vae = self.vae
+        if dtype is not None and dtype != vae.dtype:
+            vae = AutoencoderKL(self.vae.config, dtype=dtype)
+
+        def _decode(p, z):
+            z = unscale_latents(vae.config, z.astype(dtype or jnp.float32))
+            return vae.apply(p["vae"], z, method=vae.decode)
+
+        return _decode
 
     # ------------------------------------------------------------------
     # Framework-native checkpointing (orbax). Torch-format interop lives in
@@ -359,8 +374,8 @@ class InstantIRPipeline:
     # The denoise loop
     # ------------------------------------------------------------------
 
-    def _make_sample_fn(self, cfg: RestoreConfig):
-        """Build the jitted multi-phase sampler for a static RestoreConfig."""
+    def _build_sample(self, cfg: RestoreConfig):
+        """Build the pure multi-phase sampler for a static RestoreConfig."""
         schedule = self.schedule
         unet = self.unet
         aggregator = self.aggregator
@@ -537,12 +552,87 @@ class InstantIRPipeline:
             preview_row = jnp.concatenate(previews, axis=0) if previews else None
             return latents, preview_row
 
-        return jax.jit(sample)
+        return sample
+
+    def _make_sample_fn(self, cfg: RestoreConfig):
+        return jax.jit(self._build_sample(cfg))
 
     def sample_fn(self, cfg: RestoreConfig):
         if cfg not in self._sample_fn_cache:
             self._sample_fn_cache[cfg] = self._make_sample_fn(cfg)
         return self._sample_fn_cache[cfg]
+
+    def _fused_restore_fn(self, cfg: RestoreConfig):
+        """One XLA program for the whole restore (``cfg.fused``): stage math
+        identical to the staged path below, including the RNG split order, so
+        staged and fused agree latent-for-latent (tested). ``None`` optional
+        args trace as empty pytrees — jit retraces per presence pattern."""
+        cache = getattr(self, "_restore_fn_cache", None)
+        if cache is None:
+            cache = self._restore_fn_cache = {}
+        if cfg in cache:
+            return cache[cfg]
+
+        sample = self._build_sample(cfg)
+        decode = self._build_decode(jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None)
+        vae, dino, resampler = self.vae, self.image_encoder, self.resampler
+        schedule = self.schedule
+        if cfg.timesteps is not None:
+            timesteps = np.asarray(cfg.timesteps, np.int64)
+        else:
+            timesteps = ddpm_inference_timesteps(
+                cfg.num_inference_steps, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset
+            )
+        t_first = int(timesteps[0])
+
+        def fused(params, lq_images, prompt_embeds, pooled_embeds, neg_pe, neg_pooled,
+                  uncond_tokens, key, reference_latents, prev_unet):
+            b, h, w, _ = lq_images.shape
+            key, k_vae, k_init = jax.random.split(key, 3)
+
+            image_latent = scale_latents(
+                vae.config,
+                vae.apply(params["vae"], lq_images.astype(jnp.float32), rng=k_vae, sample=True, method=vae.encode),
+            ).astype(prompt_embeds.dtype)
+
+            pixels = preprocess_dinov2((lq_images + 1.0) / 2.0)
+            dino_cond = dino.apply(params["image_encoder"], pixels)
+            if cfg.do_cfg:
+                dino_uncond = jnp.broadcast_to(uncond_tokens, dino_cond.shape)
+                dino_tokens = jnp.concatenate([dino_uncond, dino_cond], axis=0)
+            else:
+                dino_tokens = dino_cond
+            ip_base = resampler.apply(params["resampler"], dino_tokens, lora_scale=0.0)
+            ip_lora = resampler.apply(params["resampler"], dino_tokens, lora_scale=float(cfg.lora_alpha))
+
+            if cfg.do_cfg:
+                npe = jnp.zeros_like(prompt_embeds) if neg_pe is None else neg_pe
+                npl = jnp.zeros_like(pooled_embeds) if neg_pooled is None else neg_pooled
+                prompt_embeds = jnp.concatenate([npe, prompt_embeds], axis=0)
+                pooled_embeds = jnp.concatenate([npl, pooled_embeds], axis=0)
+            time_ids = jnp.tile(
+                jnp.asarray([[h, w, 0, 0, h, w]], prompt_embeds.dtype), (prompt_embeds.shape[0], 1)
+            )
+            cond = {"prompt_embeds": prompt_embeds, "pooled_embeds": pooled_embeds, "time_ids": time_ids}
+
+            t0 = jnp.full((b,), t_first, jnp.int32)
+            latents = add_noise(
+                schedule, image_latent, jax.random.normal(k_init, image_latent.shape, jnp.float32), t0
+            )
+
+            cond_image_latent = jnp.concatenate([image_latent] * 2, axis=0) if cfg.do_cfg else image_latent
+            ref = reference_latents
+            if ref is not None and cfg.do_cfg:
+                ref = jnp.concatenate([ref] * 2, axis=0)
+            latents, preview_row = sample(
+                params, latents, cond, cond_image_latent, ip_base, ip_lora, key,
+                reference_latents=ref, prev_unet=prev_unet,
+            )
+            image = decode(params, latents)
+            return image, preview_row
+
+        cache[cfg] = jax.jit(fused)
+        return cache[cfg]
 
     def restore(
         self,
@@ -570,6 +660,35 @@ class InstantIRPipeline:
                 reference_latents,
             )
         )
+        prev_unet = None
+        if self._prev_unet is not None and cfg.lora_alpha:
+            if cfg.lora_alpha != self._frozen_alpha:
+                raise ValueError(
+                    f"previewer frozen at lora_alpha={self._frozen_alpha} (the LoRA pairs were "
+                    f"freed); restore with lora_alpha={cfg.lora_alpha} is impossible — rebuild "
+                    f"the pipeline or freeze at the desired strength"
+                )
+            prev_unet = self._prev_unet
+
+        if cfg.fused and output_type != "latent":
+            # whole-call single program; the staged stages below stay the
+            # reference implementation (and serve output_type="latent")
+            uncond_tokens = self._ensure_uncond_tokens(params, (224, 224, 3), lq_images.dtype)
+            image, preview_row = self._fused_restore_fn(cfg)(
+                params, lq_images, prompt_embeds, pooled_embeds,
+                negative_prompt_embeds, negative_pooled_embeds,
+                uncond_tokens, key, reference_latents, prev_unet,
+            )
+            decode_dtype = jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None
+            previews = None
+            if cfg.save_preview_row and preview_row is not None:
+                previews = [self.decode_latents(params, p, dtype=decode_dtype) for p in preview_row]
+            if output_type == "np":
+                image = np.asarray(image.astype(jnp.float32))
+                if previews is not None:
+                    previews = [np.asarray(p.astype(jnp.float32)) for p in previews]
+            return image, previews
+
         key, k_vae, k_init = jax.random.split(key, 3)
 
         # 1. LQ → latent (fp32 VAE encode), used as both init and condition
@@ -619,15 +738,6 @@ class InstantIRPipeline:
         cond_image_latent = jnp.concatenate([image_latent] * 2, axis=0) if cfg.do_cfg else image_latent
         if reference_latents is not None and cfg.do_cfg:
             reference_latents = jnp.concatenate([reference_latents] * 2, axis=0)
-        prev_unet = None
-        if self._prev_unet is not None and cfg.lora_alpha:
-            if cfg.lora_alpha != self._frozen_alpha:
-                raise ValueError(
-                    f"previewer frozen at lora_alpha={self._frozen_alpha} (the LoRA pairs were "
-                    f"freed); restore with lora_alpha={cfg.lora_alpha} is impossible — rebuild "
-                    f"the pipeline or freeze at the desired strength"
-                )
-            prev_unet = self._prev_unet
         latents, preview_row = self.sample_fn(cfg)(
             params, latents, cond, cond_image_latent, ip_base, ip_lora, key,
             reference_latents=reference_latents, prev_unet=prev_unet,

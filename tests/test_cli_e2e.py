@@ -176,7 +176,8 @@ def checkpoint_tree(tmp_path_factory):
     return root
 
 
-def test_cli_infer_end_to_end(checkpoint_tree, tmp_path):
+@pytest.mark.parametrize("extra", [[], ["--fused"]], ids=["staged", "fused"])
+def test_cli_infer_end_to_end(checkpoint_tree, tmp_path, extra):
     from instantir_tpu.cli.infer import main
 
     out = tmp_path / "restored"
@@ -191,6 +192,7 @@ def test_cli_infer_end_to_end(checkpoint_tree, tmp_path):
             "--min_side", "64", "--max_side", "128",  # 70×90 inputs land at 64×64
             "--batch_size", "2",
         ]
+        + extra
     )
     files = sorted(os.listdir(out))
     assert files == ["img0.png", "img1.png"]

@@ -196,7 +196,27 @@ def test_cfg_shared_control_branch_exact_when_branches_identical(pipe, rng):
     pooled_dim = (
         pipe.unet.config.projection_class_embeddings_input_dim - pipe.unet.config.addition_time_embed_dim * 6
     )
-    lq = jnp.zeros((b, 32, 32, 3), jnp.float32)  # == the uncond zero image
+    # the uncond branch zeros the POST-preprocessing pixels (reference
+    # encode_image, sdxl_instantir.py:662-664: torch.zeros_like(image) AFTER
+    # the feature extractor) — so the lq whose cond tokens equal the uncond
+    # tokens is the one that preprocesses to zero: (lq+1)/2 == ImageNet mean.
+    # (An earlier version used lq = 0, which only "passed" while the
+    # module-scoped pipe still had pristine zero-conv heads making the whole
+    # control branch a no-op; test_adastep_restore_runs bumps them.)
+    from instantir_tpu.models.dinov2 import DINOV2_MEAN
+
+    mean = jnp.asarray(DINOV2_MEAN, jnp.float32)
+    lq = jnp.broadcast_to(mean * 2.0 - 1.0, (b, 32, 32, 3))
+    # make sure the control branch is LIVE (zero-conv heads output exact
+    # zeros at init, which would make full-vs-shared trivially equal no
+    # matter what) — idempotent wrt test_adastep_restore_runs' own bump
+    def bump(path, x):
+        if any("zero_conv" in str(p) for p in path):
+            return jnp.where(x == 0.0, 0.05, x)
+        return x
+
+    pipe.params = dict(pipe.params)
+    pipe.params["aggregator"] = jax.tree_util.tree_map_with_path(bump, pipe.params["aggregator"])
     pe = jnp.asarray(rng.normal(size=(b, 7, cross)), jnp.float32)
     pp = jnp.asarray(rng.normal(size=(b, pooled_dim)), jnp.float32)
     kw = dict(negative_prompt_embeds=pe, negative_pooled_embeds=pp,
@@ -207,7 +227,10 @@ def test_cfg_shared_control_branch_exact_when_branches_identical(pipe, rng):
                            preview_cfg=False, controlnet_cfg=False)
     lat_f, _ = pipe.restore(lq, pe, pp, cfg=full, **kw)
     lat_s, _ = pipe.restore(lq, pe, pp, cfg=shared, **kw)
-    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_f), rtol=1e-4, atol=1e-5)
+    # atol covers the fp residue of bilinear-resizing the constant image in
+    # preprocess (weights sum to 1 ± ulp → ~1e-7 token noise, amplified by 4
+    # steps at CFG 7 to ~3e-5); genuine branch divergence measures 0.08
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_f), rtol=1e-4, atol=2e-4)
 
 
 def test_cfg_shared_control_branch_diverges_bounded(pipe, rng):
@@ -224,3 +247,30 @@ def test_cfg_shared_control_branch_diverges_bounded(pipe, rng):
     assert np.isfinite(np.asarray(lat_s)).all()
     rel = float(np.linalg.norm(np.asarray(lat_s - lat_f)) / np.linalg.norm(np.asarray(lat_f)))
     assert rel < 0.5, rel
+
+
+def test_fused_restore_matches_staged(pipe, rng):
+    """cfg.fused compiles the whole restore into one program; math and RNG
+    stream are identical to the staged path, so images must agree (tolerance
+    covers XLA re-fusing fp reductions across the larger program)."""
+    lq, pe, pp = _inputs(pipe, rng)
+    base = dict(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25,
+                save_preview_row=True)
+    kw = dict(key=jax.random.PRNGKey(5))
+    img_s, prev_s = pipe.restore(lq, pe, pp, cfg=RestoreConfig(**base), **kw)
+    img_f, prev_f = pipe.restore(lq, pe, pp, cfg=RestoreConfig(**base, fused=True), **kw)
+    np.testing.assert_allclose(img_f, img_s, rtol=1e-4, atol=1e-4)
+    assert len(prev_f) == len(prev_s)
+    for a, b in zip(prev_f, prev_s):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    # with explicit negatives (exercises the None-vs-array retrace paths)
+    npe = jnp.asarray(rng.normal(size=pe.shape), jnp.float32)
+    npp = jnp.asarray(rng.normal(size=pp.shape), jnp.float32)
+    base2 = dict(num_inference_steps=3, guidance_scale=7.0)
+    img_s2, _ = pipe.restore(lq, pe, pp, negative_prompt_embeds=npe,
+                             negative_pooled_embeds=npp, cfg=RestoreConfig(**base2), **kw)
+    img_f2, _ = pipe.restore(lq, pe, pp, negative_prompt_embeds=npe,
+                             negative_pooled_embeds=npp,
+                             cfg=RestoreConfig(**base2, fused=True), **kw)
+    np.testing.assert_allclose(img_f2, img_s2, rtol=1e-4, atol=1e-4)
