@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neg_prompt", type=str, default=None)
     p.add_argument("--save_preview_row", action="store_true")
     p.add_argument(
+        "--multistep_restore", action="store_true",
+        help="Heun lookahead on previewing steps: evaluate aggregator+UNet at "
+        "the first-order-predicted next latent (working rebuild of the "
+        "reference's broken multistep_restore path, sdxl_instantir.py:1569).",
+    )
+    p.add_argument(
         "--shared_cfg", action="store_true",
         help="CFG single-pass control branch: previewer+aggregator run on the "
         "text-cond half only (~25%% faster at 1024²; slight approximation — "
@@ -148,6 +154,7 @@ def main(argv: Optional[List[str]] = None):
         preview_start=args.preview_start,
         control_guidance_end=args.creative_start,
         save_preview_row=args.save_preview_row,
+        multistep_restore=args.multistep_restore,
         lora_alpha=1.0,
         preview_cfg=not args.shared_cfg,
         controlnet_cfg=not args.shared_cfg,

@@ -98,6 +98,19 @@ class RestoreConfig:
     # divergence + speedup in docs/perf.md.
     preview_cfg: bool = True
     controlnet_cfg: bool = True
+    # Second-order "Heun lookahead" restore (reference ``multistep_restore``,
+    # ``sdxl_instantir.py:1094,1569-1577``): on previewing steps, take a
+    # deterministic first-order DDPM step with the previewer's text-cond noise
+    # to predict x at the next timestep, then evaluate the aggregator and the
+    # main UNet AT that lookahead point (timestep ``timesteps[i+1]``) while
+    # the stochastic DDPM update still steps from (x_t, t) with the lookahead
+    # noise estimate. NOTE the reference implementation is broken in-tree —
+    # it passes ``step_forward``/``heun_step`` kwargs that stock diffusers
+    # schedulers reject (SURVEY §2.5) and only ran against a privately patched
+    # scheduler; this is a *working* rebuild of the intended semantics,
+    # oracle-tested against a hand-assembled torch loop
+    # (tests/test_restore_trajectory_oracle.py).
+    multistep_restore: bool = False
     adastep_restore: bool = False
     save_preview_row: bool = False
     # VAE decode dtype: "float32" (reference force_upcast — its fp16 VAE
@@ -145,11 +158,19 @@ def build_step_phases(cfg: RestoreConfig, timesteps: Optional[np.ndarray] = None
         previewing = not (i / n < cfg.preview_start or (i + 1) / n > cfg.preview_end)
         previewing = previewing and keep  # preview output unused when cnet off
         mode = ("B" if previewing else "A") if keep else "C"
+        # multistep lookahead target = the NEXT entry of the timestep list
+        # (reference ``prev_t = timesteps[i + 1]`` at :1575); no lookahead on
+        # the final step (``i+1 < len(timesteps)`` guard at :1569)
+        next_t = int(timesteps[i + 1]) if i + 1 < n else int(timesteps[i])
+        has_next = 1.0 if i + 1 < n else 0.0
         if phases and phases[-1]["mode"] == mode:
             phases[-1]["t"].append(int(timesteps[i]))
             phases[-1]["prev_t"].append(int(prev_ts[i]))
+            phases[-1]["next_t"].append(next_t)
+            phases[-1]["has_next"].append(has_next)
         else:
-            phases.append({"mode": mode, "t": [int(timesteps[i])], "prev_t": [int(prev_ts[i])]})
+            phases.append({"mode": mode, "t": [int(timesteps[i])], "prev_t": [int(prev_ts[i])],
+                           "next_t": [next_t], "has_next": [has_next]})
     return phases
 
 
@@ -453,10 +474,30 @@ class InstantIRPipeline:
                 else:
                     preview_latent = image_latent  # LQ latent (reference :1582)
 
+                # Heun lookahead (multistep_restore, reference :1569-1577):
+                # deterministic first-order DDPM step with the previewer's
+                # text-cond noise predicts x at timesteps[i+1]; aggregator and
+                # main UNet then evaluate at (x̂_next, next_t). Skipped on the
+                # final step of the sequence (has_next mask).
+                latent_eval, tb_eval = latent_in, tb
+                if cfg.multistep_restore and mode == "B":
+                    has_next = step_in["has_next"]
+                    next_tb = jnp.full((bsz,), step_in["next_t"], jnp.int32)
+                    noise_preview = preview_noise[-bsz:]  # text-cond half (:1570)
+                    first_prev, _ = ddpm_step(
+                        schedule, noise_preview,
+                        jnp.full((bsz,), t, jnp.int32),
+                        jnp.full((bsz,), prev_t, jnp.int32),
+                        latents, noise=None,
+                    )
+                    eval_lat = jnp.where(has_next > 0, first_prev.astype(latents.dtype), latents)
+                    latent_eval = double(eval_lat)
+                    tb_eval = jnp.where(has_next > 0, jnp.full_like(tb, step_in["next_t"]), tb)
+
                 down_res, mid_res = aggregator.apply(
                     params["aggregator"],
                     image_latent[-bsz:] if share_cnet else image_latent,
-                    tb[:bsz] if share_cnet else tb,
+                    tb_eval[:bsz] if share_cnet else tb_eval,
                     controlnet_cond=(preview_latent[-bsz:] if share_cnet else preview_latent).astype(latents.dtype),
                     added_text_embeds=cond["pooled_embeds"][-bsz:] if share_cnet else cond["pooled_embeds"],
                     added_time_ids=cond["time_ids"][-bsz:] if share_cnet else cond["time_ids"],
@@ -472,7 +513,7 @@ class InstantIRPipeline:
                 mid_res = mid_res * cond_scale.astype(mid_res.dtype)
 
                 noise_pred = cfg_combine(
-                    unet_apply(params, latent_in, tb, cond, 0.0, ip_base, down_res, mid_res)
+                    unet_apply(params, latent_eval, tb_eval, cond, 0.0, ip_base, down_res, mid_res)
                 )
                 key, sub = jax.random.split(key)
                 new_latents, pred_x0 = ddpm_step(
@@ -545,6 +586,9 @@ class InstantIRPipeline:
                     "t": jnp.asarray(phase["t"], jnp.int32),
                     "prev_t": jnp.asarray(phase["prev_t"], jnp.int32),
                 }
+                if cfg.multistep_restore and phase["mode"] == "B":
+                    steps["next_t"] = jnp.asarray(phase["next_t"], jnp.int32)
+                    steps["has_next"] = jnp.asarray(phase["has_next"], jnp.float32)
                 carry, phase_previews = jax.lax.scan(body, carry, steps)
                 if cfg.save_preview_row and phase["mode"] == "B":
                     previews.append(phase_previews)

@@ -320,8 +320,9 @@ def _lcm_step(abar, eps, t, x, timestep_scaling=10.0, sigma_data=0.5):
     return c_out.view(-1, 1, 1, 1) * x0 + c_skip.view(-1, 1, 1, 1) * x
 
 
-def _ddpm_step(abar, eps, t, prev_t, x, noise):
-    """diffusers DDPMScheduler.step, variance_type=fixed_small, no clipping."""
+def _ddpm_mean(abar, eps, t, prev_t, x):
+    """DDPM posterior mean only (the deterministic first-order step the
+    multistep lookahead uses — reference ``step_forward=False``, :1572-1574)."""
     a_t = abar[t].view(-1, 1, 1, 1)
     a_prev = torch.where(prev_t >= 0, abar[prev_t.clamp(min=0)], torch.ones(prev_t.shape)).view(-1, 1, 1, 1)
     alpha = a_t / a_prev
@@ -329,7 +330,16 @@ def _ddpm_step(abar, eps, t, prev_t, x, noise):
     x0 = (x - torch.sqrt(1 - a_t) * eps) / torch.sqrt(a_t)
     coef0 = torch.sqrt(a_prev) * beta / (1 - a_t)
     coefc = torch.sqrt(alpha) * (1 - a_prev) / (1 - a_t)
-    mean = coef0 * x0 + coefc * x
+    return coef0 * x0 + coefc * x
+
+
+def _ddpm_step(abar, eps, t, prev_t, x, noise):
+    """diffusers DDPMScheduler.step, variance_type=fixed_small, no clipping."""
+    a_t = abar[t].view(-1, 1, 1, 1)
+    a_prev = torch.where(prev_t >= 0, abar[prev_t.clamp(min=0)], torch.ones(prev_t.shape)).view(-1, 1, 1, 1)
+    alpha = a_t / a_prev
+    beta = 1 - alpha
+    mean = _ddpm_mean(abar, eps, t, prev_t, x)
     var = torch.clamp(beta * (1 - a_prev) / (1 - a_t), min=1e-20)
     sigma = torch.where(t.view(-1, 1, 1, 1) > 0, torch.sqrt(var), torch.zeros_like(var))
     return mean + sigma * noise
@@ -448,3 +458,111 @@ def test_restore_trajectory_matches_torch_loop():
         pt = np.transpose(pt.numpy(), (0, 2, 3, 1))
         perr = np.abs(pj - pt).max() / (np.abs(pt).max() + 1e-12)
         assert perr < 5e-4, f"preview {i} relative max-err {perr:.3e}"
+
+
+def test_multistep_restore_trajectory_matches_torch_loop():
+    """Heun-lookahead variant (``multistep_restore=True``): on previewing
+    steps, a deterministic first-order DDPM step with the previewer's
+    text-cond noise predicts x at ``timesteps[i+1]``; the aggregator and the
+    main UNet evaluate at (x̂_next, next_t), and the stochastic DDPM update
+    still steps from (x_t, t) — the intended semantics of the reference's
+    (in-tree broken) ``multistep_restore`` path (:1569-1577). The last step
+    (B-mode here, control_guidance_end=1.0) exercises the no-lookahead mask."""
+    RES, B, STEPS = 32, 2, 4
+    ucfg = tiny_unet_config(with_ip=True, lora_rank=4)
+    rcfg = tiny_resampler_config(output_dim=ucfg.cross_attention_dim, lora_rank=2)
+    bundle = build_pipeline(
+        ucfg, tiny_vae_config(), rcfg, tiny_dinov2_config(), jax.random.PRNGKey(0), image_size=RES
+    )
+    pipe = InstantIRPipeline(
+        bundle.unet, bundle.aggregator, bundle.vae, bundle.resampler, bundle.image_encoder,
+        bundle.schedule, bundle.params,
+    )
+    cfg = RestoreConfig(
+        num_inference_steps=STEPS, guidance_scale=7.0, preview_start=0.25,
+        control_guidance_end=1.0, multistep_restore=True,
+    )
+
+    rng = np.random.default_rng(11)
+    cross = ucfg.cross_attention_dim
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(B, RES, RES, 3)), jnp.float32)
+    pe = jnp.asarray(rng.normal(size=(B, 7, cross)) * 0.1, jnp.float32)
+    pooled = jnp.asarray(rng.normal(size=(B, pooled_dim)) * 0.1, jnp.float32)
+
+    master = jax.random.PRNGKey(13)
+    latents_jax, _ = pipe.restore(lq, pe, pooled, cfg=cfg, key=master, output_type="latent")
+
+    key, k_vae, k_init = jax.random.split(master, 3)
+    image_latent = np.asarray(pipe.encode_vae_image(pipe.params, lq.astype(jnp.float32), k_vae))
+    params = jax.tree_util.tree_map(np.asarray, pipe.params)
+
+    ts = ddpm_inference_timesteps(STEPS, cfg.num_train_timesteps, cfg.timestep_spacing, cfg.steps_offset)
+    prev_ts = ddpm_prev_timesteps(ts, cfg.num_train_timesteps, STEPS)
+    lat_shape = image_latent.shape
+    init_noise = np.asarray(jax.random.normal(k_init, lat_shape, jnp.float32))
+    step_noises = []
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        step_noises.append(np.asarray(jax.random.normal(sub, lat_shape, jnp.float32)))
+
+    dino_cond, dino_uncond = pipe.encode_image_embeds(pipe.params, (lq + 1.0) / 2.0)
+    dino_tokens = jnp.concatenate([dino_uncond, dino_cond], axis=0)
+    ip_base = np.asarray(pipe.project_ip_tokens(pipe.params, dino_tokens, lora_scale=0.0))
+    ip_lora = np.asarray(pipe.project_ip_tokens(pipe.params, dino_tokens, lora_scale=cfg.lora_alpha))
+
+    abar = _alphas_cumprod()
+    unet_base = TOracle(ucfg, params["unet"], lora=0.0)
+    unet_prev = TOracle(ucfg, params["unet"], lora=cfg.lora_alpha)
+    agg = TOracle(ucfg, params["aggregator"])
+
+    def nchw(x):
+        return torch.from_numpy(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)))
+
+    h = w = RES
+    time_ids = torch.tensor([[h, w, 0, 0, h, w]], dtype=torch.float32).repeat(2 * B, 1)
+    ctx = torch.cat([torch.zeros_like(torch.from_numpy(np.asarray(pe))), torch.from_numpy(np.asarray(pe))])
+    text_embeds = torch.cat([torch.zeros_like(torch.from_numpy(np.asarray(pooled))), torch.from_numpy(np.asarray(pooled))])
+    ip_base_t = torch.from_numpy(ip_base)
+    ip_lora_t = torch.from_numpy(ip_lora)
+    img_lat = nchw(image_latent)
+    img_lat2 = torch.cat([img_lat, img_lat])
+
+    a0 = abar[int(ts[0])]
+    x = torch.sqrt(a0) * img_lat + torch.sqrt(1 - a0) * nchw(init_noise)
+
+    with torch.no_grad():
+        for i in range(STEPS):
+            t = torch.full((2 * B,), int(ts[i]), dtype=torch.long)
+            tb = torch.full((B,), int(ts[i]), dtype=torch.long)
+            prev_tb = torch.full((B,), int(prev_ts[i]), dtype=torch.long)
+            keep = not ((i + 1) / STEPS > cfg.control_guidance_end or i / STEPS < cfg.control_guidance_start)
+            previewing = keep and not (i / STEPS < cfg.preview_start or (i + 1) / STEPS > cfg.preview_end)
+            x_in = torch.cat([x, x])
+            unet_in, unet_t = x_in, t  # defaults (reference :1505-1506)
+
+            if keep:
+                if previewing:
+                    eps_prev = unet_prev.unet(x_in, t, ctx, text_embeds, time_ids, ip=ip_lora_t)
+                    preview = _lcm_step(abar, eps_prev, t, x_in)
+                    if i + 1 < STEPS:  # Heun lookahead (:1569-1577)
+                        noise_preview = eps_prev.chunk(2)[1]
+                        first_prev = _ddpm_mean(abar, noise_preview, tb, prev_tb, x)
+                        unet_in = torch.cat([first_prev, first_prev])
+                        unet_t = torch.full((2 * B,), int(ts[i + 1]), dtype=torch.long)
+                else:
+                    preview = img_lat2
+                downs, mid = agg.aggregator(img_lat2, unet_t, preview, text_embeds, time_ids)
+                eps = unet_base.unet(unet_in, unet_t, ctx, text_embeds, time_ids, ip=ip_base_t,
+                                     down_res=downs, mid_res=mid)
+            else:
+                eps = unet_base.unet(unet_in, unet_t, ctx, text_embeds, time_ids, ip=ip_base_t)
+
+            eps_u, eps_c = eps.chunk(2)
+            eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+            x = _ddpm_step(abar, eps, tb, prev_tb, x, nchw(step_noises[i]))
+
+    got = np.asarray(latents_jax)
+    ref = np.transpose(x.numpy(), (0, 2, 3, 1))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert err < 5e-4, f"multistep final latent relative max-err {err:.3e}"
