@@ -1,0 +1,358 @@
+"""Production serving entry point — batched restoration over HTTP.
+
+The reference ships only a single-user gradio demo (``gradio_demo/app.py``);
+this is the production counterpart for TPU serving:
+
+  * **request microbatching** — concurrent requests are gathered into one
+    device batch (up to ``batch_size``, waiting at most ``batch_wait_ms`` for
+    stragglers), so the chip always sees its most efficient batch;
+  * **static shapes** — inputs are resized to a fixed resolution bucket and
+    the batch is padded to exactly ``batch_size``: one XLA program, compiled
+    once at warmup, serves every request (no shape-driven recompiles — the
+    cardinal TPU serving rule);
+  * **warmup** — the full restore program (and the text encoders) compile
+    before the server accepts traffic, so no request ever pays the
+    multi-minute remote compile;
+  * **stdlib HTTP** (ThreadingHTTPServer) — POST an image to ``/restore``,
+    GET ``/healthz`` for liveness/readiness probes. No extra dependencies.
+
+The batching core (``RestoreServer``) is transport-independent and tested on
+the CPU mesh without HTTP; the HTTP layer is a thin adapter over it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from instantir_tpu.cli.infer import DEFAULT_NEG_PROMPT, DEFAULT_PROMPT
+
+
+@dataclass
+class ServeConfig:
+    batch_size: int = 4          # device batch (pad-to-full; compile once)
+    batch_wait_ms: float = 25.0  # max straggler wait once a request is queued
+    resolution: int = 1024       # fixed resolution bucket (static shapes)
+    num_inference_steps: int = 30
+    guidance_scale: float = 7.0
+    preview_start: float = 0.1
+    creative_start: float = 0.7  # maps to control_guidance_end
+    shared_cfg: bool = False     # CFG single-pass control branch (docs/perf.md)
+    seed: int = 42
+
+
+@dataclass
+class _Request:
+    image: np.ndarray            # [H, W, 3] float32 in [-1, 1] at bucket res
+    prompt: str
+    neg_prompt: str
+    out_size: Tuple[int, int]    # (w, h) to resize the restored image back to
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[BaseException] = None
+
+
+class RestoreServer:
+    """Microbatching executor around ``InstantIRPipeline.restore``.
+
+    ``encode_fn(list[str]) -> (prompt_embeds, pooled_embeds)`` supplies text
+    conditioning (the CLIP towers, or a stub in tests). Submissions block the
+    calling thread until their batch completes; the single worker thread owns
+    every device dispatch, so requests never contend for the chip.
+    """
+
+    def __init__(self, pipe, encode_fn: Callable, cfg: ServeConfig = ServeConfig()):
+        import jax
+
+        from instantir_tpu.pipeline.instantir import RestoreConfig
+
+        self.pipe = pipe
+        self.encode_fn = encode_fn
+        self.cfg = cfg
+        self.restore_cfg = RestoreConfig(
+            num_inference_steps=cfg.num_inference_steps,
+            guidance_scale=cfg.guidance_scale,
+            preview_start=cfg.preview_start,
+            control_guidance_end=cfg.creative_start,
+            preview_cfg=not cfg.shared_cfg,
+            controlnet_cfg=not cfg.shared_cfg,
+        )
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self._embed_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        self._lock = threading.Lock()
+        self.batches_run = 0
+        self.requests_served = 0
+        self._worker = threading.Thread(target=self._run, name="restore-worker", daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, warmup: bool = True):
+        if warmup:
+            self.warmup()
+            # warmup is not traffic: report clean production counters
+            self.batches_run = 0
+            self.requests_served = 0
+        self._worker.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._worker.is_alive():
+            self._worker.join(timeout=600)
+
+    def warmup(self):
+        """Compile the full-batch restore program (and the encoders) before
+        accepting traffic. The persistent compilation cache makes restarts
+        skip the remote compile entirely."""
+        r = self.cfg.resolution
+        reqs = [
+            _Request(
+                image=np.zeros((r, r, 3), np.float32),
+                prompt=DEFAULT_PROMPT,
+                neg_prompt=DEFAULT_NEG_PROMPT,
+                out_size=(r, r),
+            )
+            for _ in range(self.cfg.batch_size)
+        ]
+        self._execute(reqs)
+
+    # -- request path ------------------------------------------------------
+
+    def submit(self, image: np.ndarray, prompt: Optional[str] = None,
+               neg_prompt: Optional[str] = None, timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking restore of ONE image ([H,W,3] uint8 or float in [-1,1]).
+        Thread-safe; concurrent callers share a device batch."""
+        img, out_size = self._to_bucket(image)
+        req = _Request(
+            image=img,
+            prompt=prompt or DEFAULT_PROMPT,
+            neg_prompt=neg_prompt or DEFAULT_NEG_PROMPT,
+            out_size=out_size,
+        )
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("restore request timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _to_bucket(self, image: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """Resize any input to the server's fixed resolution bucket (static
+        shapes are what keep this a one-program server)."""
+        from PIL import Image
+
+        if image.dtype == np.uint8:
+            pil = Image.fromarray(image)
+        else:
+            pil = Image.fromarray(((np.clip(image, -1, 1) + 1) * 127.5).astype(np.uint8))
+        out_size = pil.size
+        r = self.cfg.resolution
+        if pil.size != (r, r):
+            pil = pil.resize((r, r), Image.LANCZOS)
+        return np.asarray(pil, np.float32) / 127.5 - 1.0, out_size
+
+    # -- worker ------------------------------------------------------------
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = self.cfg.batch_wait_ms / 1000.0
+            while len(batch) < self.cfg.batch_size:
+                try:
+                    batch.append(self._queue.get(timeout=deadline))
+                except queue.Empty:
+                    break
+            try:
+                self._execute(batch)
+            except BaseException as e:  # propagate to every waiter
+                for req in batch:
+                    req.error = e
+                    req.done.set()
+
+    def _embeds(self, prompts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-prompt embedding cache — production traffic reuses a handful
+        of prompts; encoding is one jitted CLIP pass per novel prompt."""
+        missing = sorted({p for p in prompts if p not in self._embed_cache})
+        if missing:
+            pe, pooled = self.encode_fn(missing)
+            pe, pooled = np.asarray(pe, np.float32), np.asarray(pooled, np.float32)
+            for i, p in enumerate(missing):
+                self._embed_cache[p] = (pe[i], pooled[i])
+        pe = np.stack([self._embed_cache[p][0] for p in prompts])
+        pooled = np.stack([self._embed_cache[p][1] for p in prompts])
+        return pe, pooled
+
+    def _execute(self, batch: List[_Request]):
+        import jax
+        import jax.numpy as jnp
+
+        from PIL import Image
+
+        n, full = len(batch), self.cfg.batch_size
+        pad = full - n
+        images = np.stack([r.image for r in batch] + [batch[-1].image] * pad)
+        pe, pooled = self._embeds([r.prompt for r in batch] + [batch[-1].prompt] * pad)
+        npe, npooled = self._embeds([r.neg_prompt for r in batch] + [batch[-1].neg_prompt] * pad)
+
+        with self._lock:
+            self._key, sub = jax.random.split(self._key)
+        out, _ = self.pipe.restore(
+            jnp.asarray(images),
+            jnp.asarray(pe), jnp.asarray(pooled),
+            negative_prompt_embeds=jnp.asarray(npe), negative_pooled_embeds=jnp.asarray(npooled),
+            cfg=self.restore_cfg, key=sub,
+        )
+        out = np.asarray(out)
+        self.batches_run += 1
+        self.requests_served += n
+        for i, req in enumerate(batch):
+            img = ((np.clip(out[i], -1, 1) + 1) * 127.5).astype(np.uint8)
+            if (img.shape[1], img.shape[0]) != req.out_size:
+                img = np.asarray(Image.fromarray(img).resize(req.out_size, Image.LANCZOS))
+            req.result = img
+            req.done.set()
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer (stdlib; POST image bytes → PNG response)
+# ---------------------------------------------------------------------------
+
+
+def make_http_server(server: RestoreServer, host: str = "0.0.0.0", port: int = 8000):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                body = json.dumps({
+                    "ok": True,
+                    "requests_served": server.requests_served,
+                    "batches_run": server.batches_run,
+                    "batch_size": server.cfg.batch_size,
+                    "resolution": server.cfg.resolution,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            from PIL import Image
+
+            url = urlparse(self.path)
+            if url.path != "/restore":
+                self.send_error(404)
+                return
+            q = parse_qs(url.query)
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                out = server.submit(
+                    img,
+                    prompt=q.get("prompt", [None])[0],
+                    neg_prompt=q.get("neg_prompt", [None])[0],
+                    timeout=float(q.get("timeout", [600])[0]),
+                )
+                buf = io.BytesIO()
+                Image.fromarray(out).save(buf, format="PNG")
+                body = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except BaseException as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[List[str]] = None):
+    import jax
+    import jax.numpy as jnp
+
+    from instantir_tpu.models.clip_text import encode_sdxl_prompt
+    from instantir_tpu.pipeline.load import load_instantir_pipeline, load_text_encoders
+
+    p = argparse.ArgumentParser(description="InstantIR TPU serving")
+    p.add_argument("--sdxl_path", type=str, required=True)
+    p.add_argument("--instantir_path", type=str, required=True)
+    p.add_argument("--vision_encoder_path", type=str, required=True)
+    p.add_argument("--adapter_model_path", type=str, default=None)
+    p.add_argument("--previewer_lora_path", type=str, default=None)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--batch_wait_ms", type=float, default=25.0)
+    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--cfg", type=float, default=7.0)
+    p.add_argument("--preview_start", type=float, default=0.1)
+    p.add_argument("--creative_start", type=float, default=0.7)
+    p.add_argument("--shared_cfg", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the serve batch over all local devices (batch_size "
+                   "must divide by the device count)")
+    args = p.parse_args(argv)
+
+    pipe = load_instantir_pipeline(
+        args.sdxl_path, args.instantir_path,
+        vision_encoder_path=args.vision_encoder_path,
+        adapter_path=args.adapter_model_path,
+        previewer_lora_path=args.previewer_lora_path,
+    )
+    if args.mesh:
+        from instantir_tpu.parallel.mesh import make_mesh
+
+        pipe.shard(make_mesh())
+    (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
+
+    def encode(prompts: List[str]):
+        ids1 = jnp.asarray([tok1(s, padding="max_length", max_length=77, truncation=True)["input_ids"] for s in prompts])
+        ids2 = jnp.asarray([tok2(s, padding="max_length", max_length=77, truncation=True)["input_ids"] for s in prompts])
+        return encode_sdxl_prompt(enc1, p1, enc2, p2, ids1, ids2)
+
+    cfg = ServeConfig(
+        batch_size=args.batch_size, batch_wait_ms=args.batch_wait_ms,
+        resolution=args.resolution, num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.cfg, preview_start=args.preview_start,
+        creative_start=args.creative_start, shared_cfg=args.shared_cfg,
+    )
+    server = RestoreServer(pipe, encode, cfg).start(warmup=True)
+    httpd = make_http_server(server, args.host, args.port)
+    print(f"[serve] ready on {args.host}:{args.port} "
+          f"(batch {cfg.batch_size} @ {cfg.resolution}², {len(jax.devices())} device(s))")
+    try:
+        httpd.serve_forever()
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

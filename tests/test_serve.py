@@ -1,0 +1,126 @@
+"""Serving layer: microbatching executor + HTTP adapter (cli/serve.py).
+
+The reference has no serving entry point (gradio demo only); these tests pin
+the production-serving contract: concurrent requests share one padded
+static-shape device batch, one program serves every request, prompt
+embeddings are cached per prompt, and the HTTP layer round-trips PNG bytes.
+"""
+
+import io
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from instantir_tpu.cli.serve import RestoreServer, ServeConfig, make_http_server
+from instantir_tpu.models.dinov2 import tiny_dinov2_config
+from instantir_tpu.models.resampler import tiny_resampler_config
+from instantir_tpu.models.unet import tiny_unet_config
+from instantir_tpu.models.vae import tiny_vae_config
+from instantir_tpu.pipeline.factory import build_pipeline
+from instantir_tpu.pipeline.instantir import InstantIRPipeline
+
+RES = 32
+
+
+@pytest.fixture(scope="module")
+def server():
+    ucfg = tiny_unet_config(with_ip=True, lora_rank=4)
+    rcfg = tiny_resampler_config(output_dim=ucfg.cross_attention_dim, lora_rank=2)
+    bundle = build_pipeline(
+        ucfg, tiny_vae_config(), rcfg, tiny_dinov2_config(), jax.random.PRNGKey(0), image_size=RES
+    )
+    pipe = InstantIRPipeline(
+        bundle.unet, bundle.aggregator, bundle.vae, bundle.resampler, bundle.image_encoder,
+        bundle.schedule, bundle.params,
+    )
+    cross = ucfg.cross_attention_dim
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
+    calls = []
+
+    def encode(prompts):
+        calls.append(list(prompts))
+        rngs = [np.random.default_rng(abs(hash(p)) % 2**31) for p in prompts]
+        pe = np.stack([r.normal(size=(7, cross)).astype(np.float32) * 0.1 for r in rngs])
+        pooled = np.stack([r.normal(size=(pooled_dim,)).astype(np.float32) * 0.1 for r in rngs])
+        return pe, pooled
+
+    cfg = ServeConfig(batch_size=2, batch_wait_ms=200.0, resolution=RES,
+                      num_inference_steps=2, guidance_scale=7.0,
+                      preview_start=0.0, creative_start=1.0)
+    srv = RestoreServer(pipe, encode, cfg).start(warmup=True)
+    srv._encode_calls = calls
+    yield srv
+    srv.stop()
+
+
+def test_single_request_roundtrip(server):
+    img = (np.random.default_rng(0).uniform(0, 255, size=(48, 40, 3))).astype(np.uint8)
+    out = server.submit(img, prompt="a cat", timeout=300)
+    # restored image comes back at the ORIGINAL size (PIL size is (w, h))
+    assert out.shape == (48, 40, 3) and out.dtype == np.uint8
+
+
+def test_concurrent_requests_share_a_batch(server):
+    before = server.batches_run
+    results = {}
+
+    def call(i):
+        img = np.full((RES, RES, 3), 10 * i, np.uint8)
+        results[i] = server.submit(img, prompt="same prompt", timeout=300)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert all(results[i].shape == (RES, RES, 3) for i in range(2))
+    # both requests fit one device batch (batch_size=2, generous batch_wait):
+    # at most 2 batches even under scheduler jitter, not strictly 1, because
+    # the worker may have dequeued the first request before the second landed
+    assert server.batches_run - before <= 2
+
+
+def test_prompt_embed_cache(server):
+    n_before = sum(len(c) for c in server._encode_calls)
+    img = np.zeros((RES, RES, 3), np.uint8)
+    server.submit(img, prompt="a cached prompt", timeout=300)
+    server.submit(img, prompt="a cached prompt", timeout=300)
+    n_after = sum(len(c) for c in server._encode_calls)
+    # the second submit must not re-encode "a cached prompt"
+    assert ("a cached prompt" in {p for c in server._encode_calls for p in c})
+    assert n_after - n_before <= 2  # 1 novel prompt + possibly its neg default
+
+
+def test_http_roundtrip(server):
+    from http.client import HTTPConnection
+
+    from PIL import Image
+
+    httpd = make_http_server(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("GET", "/healthz")
+        health = conn.getresponse()
+        assert health.status == 200
+        body = health.read()
+        assert b'"ok": true' in body
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(buf, format="PNG")
+        conn.request("POST", "/restore?prompt=hello", body=buf.getvalue(),
+                     headers={"Content-Length": str(buf.getbuffer().nbytes)})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = Image.open(io.BytesIO(resp.read()))
+        assert out.size == (40, 40)
+
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+    finally:
+        httpd.shutdown()
