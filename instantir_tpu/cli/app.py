@@ -150,8 +150,10 @@ def launch(argv: Optional[List[str]] = None):
     import jax.numpy as jnp
 
     from instantir_tpu.models.clip_text import encode_sdxl_prompt
+    from instantir_tpu.parallel import initialize_distributed
     from instantir_tpu.pipeline.load import load_instantir_pipeline, load_text_encoders
 
+    initialize_distributed()  # multi-host no-op unless a coordinator is configured
     p = argparse.ArgumentParser()
     p.add_argument("--sdxl_path", required=True)
     p.add_argument("--instantir_path", required=True)

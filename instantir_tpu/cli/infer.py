@@ -115,10 +115,12 @@ def main(argv: Optional[List[str]] = None):
     from PIL import Image
 
     from instantir_tpu.models.clip_text import encode_sdxl_prompt
+    from instantir_tpu.parallel import initialize_distributed
     from instantir_tpu.pipeline.instantir import RestoreConfig
     from instantir_tpu.pipeline.load import load_instantir_pipeline, load_text_encoders
 
     args = build_parser().parse_args(argv)
+    initialize_distributed()  # multi-host no-op unless a coordinator is configured
     pipe = load_instantir_pipeline(
         args.sdxl_path,
         args.instantir_path,

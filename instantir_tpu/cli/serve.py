@@ -321,6 +321,9 @@ def main(argv: Optional[List[str]] = None):
                    "must divide by the device count)")
     args = p.parse_args(argv)
 
+    from instantir_tpu.parallel import initialize_distributed
+
+    initialize_distributed()  # multi-host no-op unless a coordinator is configured
     pipe = load_instantir_pipeline(
         args.sdxl_path, args.instantir_path,
         vision_encoder_path=args.vision_encoder_path,

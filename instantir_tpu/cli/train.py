@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="rematerialize UNet/Aggregator blocks in the backward pass "
         "(reference train_*_*.py --gradient_checkpointing)",
     )
+    p.add_argument(
+        "--handle_preemption", action="store_true",
+        help="SIGTERM (TPU spot/maintenance event) -> checkpoint at the next "
+        "step boundary and exit cleanly; resume with --resume_from_checkpoint latest",
+    )
+    p.add_argument(
+        "--async_checkpointing", action="store_true",
+        help="overlap orbax checkpoint writes with subsequent train steps",
+    )
     return p
 
 
@@ -186,6 +195,14 @@ def _conditioning(args, pipe, batch_size: int):
     return cond_fn
 
 
+def _is_main() -> bool:
+    """Artifact exports are process-0-only in multi-host runs (the
+    reference's ``accelerator.is_main_process`` gating)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def _data_iter(args):
     import jax
 
@@ -204,8 +221,15 @@ def _data_iter(args):
             process_index=pi, process_count=pc,
         )
     # GT crops at the training resolution (reference feeds gt_size=resolution
-    # images into the degradation, utils/train_utils.py:123-127 + DEGRADE_OPT)
-    return ds.batches(batch_size=args.train_batch_size, gt_size=args.resolution)
+    # images into the degradation, utils/train_utils.py:123-127 + DEGRADE_OPT).
+    # train_batch_size is the GLOBAL batch; each process loads its local rows
+    # (the trainer's shard_batch assembles the global array from them)
+    if args.train_batch_size % pc:
+        raise ValueError(
+            f"train_batch_size={args.train_batch_size} must divide by the "
+            f"process count {pc}"
+        )
+    return ds.batches(batch_size=args.train_batch_size // pc, gt_size=args.resolution)
 
 
 def _export_instantir_config(pipe, output_dir: str):
@@ -246,6 +270,12 @@ def _val_batch(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from instantir_tpu.parallel import initialize_distributed
+
+    # multi-host: no-op unless JAX_COORDINATOR_ADDRESS is configured (TPU-pod
+    # launchers set it per process); afterwards jax.devices() spans all hosts
+    # and the per-process dataset sharding below does the rest
+    initialize_distributed()
     from instantir_tpu.losses import load_losses_config
 
     losses_cfg = load_losses_config(args.losses_config) if os.path.exists(args.losses_config) else None
@@ -287,6 +317,8 @@ def main(argv=None):
         seed=args.seed,
         sanity_check=args.sanity_check,
         resume_from_checkpoint=args.resume_from_checkpoint,
+        handle_preemption=args.handle_preemption,
+        async_checkpointing=args.async_checkpointing,
     )
 
     if args.stage == "stage1":
@@ -297,8 +329,9 @@ def main(argv=None):
             pipe.unet, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
         )
         trainer.run(data, cond, val_batch=val_batch)
-        trainer.export_adapter(os.path.join(args.output_dir, "adapter_ckpt.pt"))
-        _export_instantir_config(pipe, args.output_dir)
+        if _is_main():
+            trainer.export_adapter(os.path.join(args.output_dir, "adapter_ckpt.pt"))
+            _export_instantir_config(pipe, args.output_dir)
     elif args.stage == "previewer":
         from instantir_tpu.train.previewer_lora import PreviewerConfig, PreviewerTrainer
 
@@ -310,8 +343,9 @@ def main(argv=None):
             pipe.unet, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
         )
         trainer.run(data, cond, val_batch=val_batch)
-        trainer.export_lora(os.path.join(args.output_dir, "previewer_lora_weights.bin"))
-        _export_instantir_config(pipe, args.output_dir)
+        if _is_main():
+            trainer.export_lora(os.path.join(args.output_dir, "previewer_lora_weights.bin"))
+            _export_instantir_config(pipe, args.output_dir)
     else:
         from instantir_tpu.train.stage2_aggregator import Stage2Config, Stage2Trainer
 
@@ -325,8 +359,9 @@ def main(argv=None):
             pipe.unet, pipe.aggregator, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
         )
         trainer.run(data, cond, val_batch=val_batch)
-        trainer.export_aggregator(os.path.join(args.output_dir, "aggregator.pt"))
-        _export_instantir_config(pipe, args.output_dir)
+        if _is_main():
+            trainer.export_aggregator(os.path.join(args.output_dir, "aggregator.pt"))
+            _export_instantir_config(pipe, args.output_dir)
 
 
 if __name__ == "__main__":

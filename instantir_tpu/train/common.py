@@ -266,14 +266,69 @@ def make_adamw(
 # ---------------------------------------------------------------------------
 
 
-class CheckpointManager:
-    """checkpoint-{step} dirs + total-limit GC + resume-latest."""
+_PREEMPT = {"requested": False}
 
-    def __init__(self, output_dir: str, total_limit: Optional[int] = None):
+
+def install_preemption_handler() -> bool:
+    """SIGTERM → request a graceful stop at the next step boundary.
+
+    TPU preemptions (spot/maintenance events) deliver SIGTERM with a grace
+    window; the trainers' run loops check :func:`preemption_requested` after
+    every step and save a resumable checkpoint before exiting, so a preempted
+    job loses at most one step (``--resume_from_checkpoint latest`` picks it
+    up, the same recovery entry the reference uses,
+    ``train_stage1_adapter.py:1054-1078`` — which has no save-on-preemption).
+    Returns False (and installs nothing) off the main thread, where signal
+    handlers are not allowed.
+    """
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return False
+
+    def _handler(signum, frame):
+        _PREEMPT["requested"] = True
+
+    signal.signal(signal.SIGTERM, _handler)
+    return True
+
+
+def preemption_requested() -> bool:
+    return _PREEMPT["requested"]
+
+
+class CheckpointManager:
+    """checkpoint-{step} dirs + total-limit GC + resume-latest.
+
+    ``async_save=True`` overlaps the disk write with the following train
+    steps (orbax's ``StandardCheckpointer`` is an ``AsyncCheckpointer``:
+    ``save`` returns once the arrays are staged to host memory); the next
+    ``save``/``restore``/``wait`` blocks until the previous write committed,
+    so at most one write is in flight and GC never races an in-flight dir.
+    The reference has no equivalent (``accelerator.save_state`` is
+    synchronous)."""
+
+    def __init__(self, output_dir: str, total_limit: Optional[int] = None,
+                 async_save: bool = False):
         self.output_dir = output_dir
         self.total_limit = total_limit
+        self.async_save = async_save
+        self._ckptr = None
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+
+        if self._ckptr is None:
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def wait(self):
+        """Block until any in-flight async write has committed."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
 
     def _ckpt_dirs(self):
         if not os.path.isdir(self.output_dir):
@@ -282,26 +337,29 @@ class CheckpointManager:
         return sorted(dirs, key=lambda d: int(d.split("-")[1]))
 
     def save(self, step: int, state: Dict[str, Any]):
-        import orbax.checkpoint as ocp
-
-        if self.total_limit is not None:
+        ckptr = self._checkpointer()
+        ckptr.wait_until_finished()  # ≤1 write in flight; GC below is safe
+        # multi-host: orbax coordinates the array writes itself (every
+        # process calls save), but the app-level GC must not race — only
+        # process 0 deletes (reference: accelerate's is_main_process gating,
+        # train_stage1_adapter.py:1193-1216)
+        if self.total_limit is not None and jax.process_index() == 0:
             dirs = self._ckpt_dirs()
             while len(dirs) >= self.total_limit:
                 shutil.rmtree(os.path.join(self.output_dir, dirs.pop(0)))
         path = os.path.abspath(os.path.join(self.output_dir, f"checkpoint-{step}"))
-        ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, "state"), state)
-        ckptr.wait_until_finished()
+        if not self.async_save:
+            ckptr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         dirs = self._ckpt_dirs()
         return int(dirs[-1].split("-")[1]) if dirs else None
 
     def restore(self, step: int, template: Dict[str, Any]) -> Dict[str, Any]:
-        import orbax.checkpoint as ocp
-
+        ckptr = self._checkpointer()
+        ckptr.wait_until_finished()
         path = os.path.abspath(os.path.join(self.output_dir, f"checkpoint-{step}", "state"))
-        ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(path, template)
 
     def resume_latest(self, template: Dict[str, Any]) -> Tuple[Optional[int], Optional[Dict[str, Any]]]:
@@ -317,11 +375,14 @@ class CheckpointManager:
 
 
 class Tracker:
-    """TensorBoard scalar/image logging (tensorboardX), no-op without logdir."""
+    """TensorBoard scalar/image logging (tensorboardX), no-op without logdir.
+
+    Multi-host: only process 0 writes (the reference's ``is_main_process``
+    tracker gating, ``train_stage1_adapter.py:948-957``)."""
 
     def __init__(self, logdir: Optional[str]):
         self.writer = None
-        if logdir:
+        if logdir and jax.process_index() == 0:
             from tensorboardX import SummaryWriter
 
             self.writer = SummaryWriter(logdir)

@@ -73,6 +73,8 @@ class PreviewerConfig:
     sanity_check: bool = False
     validation_steps: int = 0  # 0 disables
     resume_from_checkpoint: Optional[str] = "latest"
+    handle_preemption: bool = False  # SIGTERM -> checkpoint + clean exit (TPU spot/maintenance)
+    async_checkpointing: bool = False  # overlap orbax writes with the next train steps
 
 
 def lora_trainable_pred(path: Tuple[str, ...]) -> bool:
@@ -291,7 +293,7 @@ class PreviewerTrainer:
 
         self._step = jax.jit(_wrapped, donate_argnums=(0, 2))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
-        self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit)
+        self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit, async_save=cfg.async_checkpointing)
         self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
         self.global_step = 0
         print(f"[previewer] trainable LoRA params: {common.count_params(self.trainable)/1e6:.2f}M")
@@ -356,6 +358,8 @@ class PreviewerTrainer:
     def run(self, data_iter, cond, val_batch=None):
         cfg = self.cfg
         self.resume()
+        if cfg.handle_preemption:
+            common.install_preemption_handler()
         key = jax.random.PRNGKey(cfg.seed)
         tic = time.time()
         while self.global_step < cfg.max_train_steps:
@@ -386,9 +390,15 @@ class PreviewerTrainer:
                 validate_previewer(self, val_batch['lq'], val_batch['gt'], cond, self.tracker, self.global_step)
             if self.global_step % cfg.checkpointing_steps == 0:
                 self.save_checkpoint()
+            if common.preemption_requested():
+                print(f"[previewer] preemption: checkpointing at step {self.global_step} and exiting")
+                break
         self.save_checkpoint()
+        self.ckpt.wait()
 
     def save_checkpoint(self):
+        if self.ckpt.latest_step() == self.global_step:
+            return  # already saved this step (in-loop save meeting the final/preemption save)
         self.ckpt.save(self.global_step, {"trainable": self.trainable, "opt_state": self.opt_state, "step": self.global_step})
 
     def export_lora(self, path: str):
