@@ -106,6 +106,18 @@ def build_parser() -> argparse.ArgumentParser:
         "into ONE XLA program — same math/RNG, no per-stage dispatch "
         "(~0.2 s/image through a dispatch relay); bigger first compile.",
     )
+    p.add_argument(
+        "--deepcache_interval", type=int, default=1,
+        help="DeepCache block caching (arXiv 2312.03209): refresh the deep "
+        "UNet trunk + previewer + aggregator every N steps, run only the "
+        "shallow UNet levels in between. 1 = exact (off); 2-3 trade slight "
+        "quality for large speedups (docs/perf.md).",
+    )
+    p.add_argument(
+        "--deepcache_depth", type=int, default=1,
+        help="number of shallow UNet levels recomputed on cached steps "
+        "(higher = closer to exact, less speedup)",
+    )
     return p
 
 
@@ -161,6 +173,8 @@ def main(argv: Optional[List[str]] = None):
         preview_cfg=not args.shared_cfg,
         controlnet_cfg=not args.shared_cfg,
         fused=args.fused,
+        deepcache_interval=args.deepcache_interval,
+        deepcache_depth=args.deepcache_depth,
     )
 
     for i in range(0, len(files), args.batch_size):

@@ -45,6 +45,8 @@ class ServeConfig:
     preview_start: float = 0.1
     creative_start: float = 0.7  # maps to control_guidance_end
     shared_cfg: bool = False     # CFG single-pass control branch (docs/perf.md)
+    deepcache_interval: int = 1  # DeepCache block caching; 1 = exact (docs/perf.md)
+    deepcache_depth: int = 1
     seed: int = 42
 
 
@@ -83,9 +85,12 @@ class RestoreServer:
             control_guidance_end=cfg.creative_start,
             preview_cfg=not cfg.shared_cfg,
             controlnet_cfg=not cfg.shared_cfg,
+            deepcache_interval=cfg.deepcache_interval,
+            deepcache_depth=cfg.deepcache_depth,
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        self._closing = threading.Event()
         self._key = jax.random.PRNGKey(cfg.seed)
         self._embed_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         self._lock = threading.Lock()
@@ -105,9 +110,29 @@ class RestoreServer:
         return self
 
     def stop(self):
+        """Immediate stop: the worker exits after its current batch; any
+        still-queued requests are failed so their waiters unblock."""
+        self._closing.set()
         self._stop.set()
         if self._worker.is_alive():
             self._worker.join(timeout=600)
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = RuntimeError("server stopped")
+            req.done.set()
+
+    def drain(self, timeout: Optional[float] = 600):
+        """Graceful shutdown: refuse new submissions, finish every queued
+        request (in-flight batches included), then stop the worker. This is
+        the serving counterpart of the trainers' SIGTERM preemption handling —
+        a preempted/redeployed server loses no accepted request."""
+        self._closing.set()
+        if self._worker.is_alive():
+            self._worker.join(timeout)
+        self.stop()
 
     def warmup(self):
         """Compile the full-batch restore program (and the encoders) before
@@ -131,6 +156,8 @@ class RestoreServer:
                neg_prompt: Optional[str] = None, timeout: Optional[float] = None) -> np.ndarray:
         """Blocking restore of ONE image ([H,W,3] uint8 or float in [-1,1]).
         Thread-safe; concurrent callers share a device batch."""
+        if self._closing.is_set():
+            raise RuntimeError("server is draining — not accepting new requests")
         img, out_size = self._to_bucket(image)
         req = _Request(
             image=img,
@@ -167,6 +194,8 @@ class RestoreServer:
             try:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
+                if self._closing.is_set():
+                    return  # drained: queue empty and no new submissions
                 continue
             batch = [first]
             deadline = self.cfg.batch_wait_ms / 1000.0
@@ -316,6 +345,9 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--preview_start", type=float, default=0.1)
     p.add_argument("--creative_start", type=float, default=0.7)
     p.add_argument("--shared_cfg", action="store_true")
+    p.add_argument("--deepcache_interval", type=int, default=1,
+                   help="DeepCache block caching: refresh cadence (1 = exact)")
+    p.add_argument("--deepcache_depth", type=int, default=1)
     p.add_argument("--mesh", action="store_true",
                    help="shard the serve batch over all local devices (batch_size "
                    "must divide by the device count)")
@@ -346,15 +378,29 @@ def main(argv: Optional[List[str]] = None):
         resolution=args.resolution, num_inference_steps=args.num_inference_steps,
         guidance_scale=args.cfg, preview_start=args.preview_start,
         creative_start=args.creative_start, shared_cfg=args.shared_cfg,
+        deepcache_interval=args.deepcache_interval, deepcache_depth=args.deepcache_depth,
     )
     server = RestoreServer(pipe, encode, cfg).start(warmup=True)
     httpd = make_http_server(server, args.host, args.port)
+
+    # SIGTERM (TPU preemption / redeploy) and SIGINT drain gracefully: stop
+    # accepting connections, finish every accepted request, then exit
+    import signal
+
+    def _graceful(signum, frame):
+        print(f"[serve] signal {signum}: draining...", flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
+
     print(f"[serve] ready on {args.host}:{args.port} "
           f"(batch {cfg.batch_size} @ {cfg.resolution}², {len(jax.devices())} device(s))")
     try:
         httpd.serve_forever()
     finally:
-        server.stop()
+        server.drain()
+        print(f"[serve] drained: {server.requests_served} request(s) served", flush=True)
 
 
 if __name__ == "__main__":

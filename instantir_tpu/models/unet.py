@@ -128,7 +128,26 @@ class UNet2DConditionModel(nn.Module):
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
         lora_scale=0.0,
         ip_scale=None,
+        cached_deep: Optional[jnp.ndarray] = None,
+        return_deep: bool = False,
+        cache_depth: int = 1,
     ) -> jnp.ndarray:
+        """DeepCache-style split execution (block caching for diffusion
+        sampling, arXiv 2312.03209; opt-in, see ``RestoreConfig.deepcache_*``):
+
+        * ``return_deep=True`` — full forward that ALSO returns the feature
+          entering up block ``n_up - cache_depth`` (the "deep trunk" output).
+        * ``cached_deep=<that feature>`` — shallow forward: run only the first
+          ``cache_depth`` down blocks (for fresh skip connections) and the last
+          ``cache_depth`` up blocks on top of the cached trunk.
+
+        Exactness property (tested): for the same inputs,
+        ``shallow(x, cached_deep=deep(x)) == full(x)`` bit-for-bit — the split
+        only becomes an approximation when the cached trunk is reused across
+        timesteps. In shallow mode ``down_block_additional_residuals`` must be
+        the shallow skip slice (first ``3·cache_depth`` entries at
+        layers_per_block=2) and ``mid_block_additional_residual`` is unused.
+        """
         cfg = self.config
         b = sample.shape[0]
         timesteps = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timesteps)), (b,))
@@ -160,12 +179,23 @@ class UNet2DConditionModel(nn.Module):
         _Mid = remat(UNetMidBlock2DCrossAttn)
         _CrossUp, _Up = remat(CrossAttnUpBlock2D), remat(UpBlock2D)
 
+        shallow = cached_deep is not None
+        n_blocks = len(cfg.down_block_types)
+        if shallow or return_deep:
+            if not (1 <= cache_depth < n_blocks):
+                raise ValueError(f"cache_depth must be in [1, {n_blocks - 1}], got {cache_depth}")
+            if shallow and cfg.residual_fusion != "add":
+                raise ValueError("cached_deep requires residual_fusion='add'")
+
         # 2. conv_in (never LoRA'd — not in PREVIEWER_LORA_MODULES)
         sample = LoRAConv(cfg.block_out_channels[0], (3, 3), padding=1, name="conv_in", **common)(sample)
 
-        # 3. down
+        # 3. down (shallow mode: only the first cache_depth levels, for the
+        # fresh skip connections the shallow up blocks consume)
         down_res_samples = (sample,)
         for i, block_type in enumerate(cfg.down_block_types):
+            if shallow and i >= cache_depth:
+                break
             is_final = i == len(cfg.down_block_types) - 1
             out_ch = cfg.block_out_channels[i]
             if block_type == "CrossAttnDownBlock2D":
@@ -208,6 +238,19 @@ class UNet2DConditionModel(nn.Module):
                 )(sample, emb, lora_scale)
             down_res_samples = down_res_samples + res
 
+        if shallow:
+            # the boundary level's downsample output feeds a deep up block
+            # that will not run — drop it so the list holds exactly the skips
+            # the shallow up blocks pop
+            down_res_samples = down_res_samples[:-1]
+            if down_block_additional_residuals is not None and len(
+                down_block_additional_residuals
+            ) != len(down_res_samples):
+                raise ValueError(
+                    f"shallow mode expects {len(down_res_samples)} residuals "
+                    f"(the shallow skip slice), got {len(down_block_additional_residuals)}"
+                )
+
         if down_block_additional_residuals is not None:
             if cfg.residual_fusion == "zero_sft":
                 # pair (control, skip); each up-block resnet fuses via ZeroSFT
@@ -226,10 +269,10 @@ class UNet2DConditionModel(nn.Module):
                 "so the ZeroSFT parameters materialize)"
             )
 
-        # 4. mid
+        # 4. mid (skipped in shallow mode — it lives in the cached trunk)
         heads = cfg.num_attention_heads[-1]
         mid_ch = cfg.block_out_channels[-1]
-        sample = _Mid(
+        sample = sample if shallow else _Mid(
             in_channels=mid_ch,
             temb_channels=cfg.time_embed_dim,
             heads=heads,
@@ -252,7 +295,7 @@ class UNet2DConditionModel(nn.Module):
             lora_scale=lora_scale,
             ip_scale=ip_scale,
         )
-        if mid_block_additional_residual is not None:
+        if mid_block_additional_residual is not None and not shallow:
             if cfg.residual_fusion == "zero_sft":
                 from instantir_tpu.models.zero_sft import ZeroSFT
 
@@ -263,9 +306,18 @@ class UNet2DConditionModel(nn.Module):
             else:
                 sample = sample + mid_block_additional_residual.astype(sample.dtype)
 
-        # 5. up
+        # 5. up (shallow mode: only the last cache_depth blocks, on top of the
+        # cached trunk; return_deep: capture the trunk output at the boundary)
+        deep_out = None
+        n_up = len(cfg.up_block_types)
+        if shallow:
+            sample = cached_deep.astype(self.dtype)
         reversed_channels = tuple(reversed(cfg.block_out_channels))
         for i, block_type in enumerate(cfg.up_block_types):
+            if shallow and i < n_up - cache_depth:
+                continue
+            if return_deep and i == n_up - cache_depth:
+                deep_out = sample
             is_final = i == len(cfg.up_block_types) - 1
             out_ch = reversed_channels[i]
             num_res = cfg.layers_per_block + 1
@@ -314,4 +366,6 @@ class UNet2DConditionModel(nn.Module):
         # 6. out
         sample = GroupNorm32(num_groups=cfg.norm_num_groups, dtype=self.dtype, fuse_silu=True, name="conv_norm_out")(sample)
         sample = LoRAConv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(sample)
+        if return_deep:
+            return sample, deep_out
         return sample

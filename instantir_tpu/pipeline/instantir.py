@@ -98,6 +98,22 @@ class RestoreConfig:
     # divergence + speedup in docs/perf.md.
     preview_cfg: bool = True
     controlnet_cfg: bool = True
+    # DeepCache block caching (arXiv 2312.03209, "Cache Me if You Can"-family
+    # step caching; opt-in approximation like the shared-CFG branch above):
+    # every `deepcache_interval`-th step is a REFRESH step that runs the full
+    # previewer → aggregator → main-UNet stack and caches (a) the main UNet's
+    # deep trunk output and (b) the aggregator's shallow-skip residuals; the
+    # steps in between run ONLY the shallowest `deepcache_depth` UNet levels
+    # against the cached trunk (fresh conv_in/down/up at the outer levels keep
+    # tracking x_t) and skip the previewer and aggregator entirely, reusing
+    # the cached residuals. Phase boundaries always refresh. interval=1 is
+    # exact (off, the default). The UNet split itself is bit-exact at equal
+    # timestep (tests/test_unet.py::test_deepcache_split_is_exact_same_step);
+    # cross-step reuse is the approximation — measured divergence and speedup
+    # in docs/perf.md. Incompatible with multistep_restore (the lookahead
+    # needs a fresh preview every step).
+    deepcache_interval: int = 1
+    deepcache_depth: int = 1
     # Second-order "Heun lookahead" restore (reference ``multistep_restore``,
     # ``sdxl_instantir.py:1094,1569-1577``): on previewing steps, take a
     # deterministic first-order DDPM step with the previewer's text-cond noise
@@ -163,14 +179,18 @@ def build_step_phases(cfg: RestoreConfig, timesteps: Optional[np.ndarray] = None
         # the final step (``i+1 < len(timesteps)`` guard at :1569)
         next_t = int(timesteps[i + 1]) if i + 1 < n else int(timesteps[i])
         has_next = 1.0 if i + 1 < n else 0.0
+        # deepcache refresh schedule: every interval-th step, forced at phase
+        # starts so a cache never crosses a mode boundary stale
+        refresh = 1.0 if (i % max(cfg.deepcache_interval, 1) == 0) else 0.0
         if phases and phases[-1]["mode"] == mode:
             phases[-1]["t"].append(int(timesteps[i]))
             phases[-1]["prev_t"].append(int(prev_ts[i]))
             phases[-1]["next_t"].append(next_t)
             phases[-1]["has_next"].append(has_next)
+            phases[-1]["refresh"].append(refresh)
         else:
             phases.append({"mode": mode, "t": [int(timesteps[i])], "prev_t": [int(prev_ts[i])],
-                           "next_t": [next_t], "has_next": [has_next]})
+                           "next_t": [next_t], "has_next": [has_next], "refresh": [1.0]})
     return phases
 
 
@@ -403,11 +423,19 @@ class InstantIRPipeline:
         phases = build_step_phases(cfg)
         do_cfg = cfg.do_cfg
         gs = cfg.guidance_scale
+        deepcache = cfg.deepcache_interval > 1
+        dc_depth = cfg.deepcache_depth
+        if deepcache and cfg.multistep_restore:
+            raise ValueError(
+                "deepcache_interval > 1 is incompatible with multistep_restore "
+                "(the Heun lookahead needs a fresh preview every step)"
+            )
 
         def double(x):
             return jnp.concatenate([x, x], axis=0) if do_cfg else x
 
-        def unet_apply(params, latents, t, cond, lora_scale, ip_tokens, residuals=None, mid_residual=None):
+        def unet_apply(params, latents, t, cond, lora_scale, ip_tokens, residuals=None,
+                       mid_residual=None, **deepcache_kw):
             return unet.apply(
                 params["unet"],
                 latents,
@@ -419,6 +447,7 @@ class InstantIRPipeline:
                 down_block_additional_residuals=residuals,
                 mid_block_additional_residual=mid_residual,
                 lora_scale=lora_scale,
+                **deepcache_kw,
             )
 
         def cfg_combine(noise_pred):
@@ -433,14 +462,37 @@ class InstantIRPipeline:
         def make_body(mode: str, params, cond, image_latent, ip_base, ip_lora,
                       reference_latents=None, prev_params=None):
             def body(carry, step_in):
-                latents, key, preview_factor, prev_preview = carry
+                if deepcache:
+                    latents, key, preview_factor, prev_preview, cache = carry
+                else:
+                    latents, key, preview_factor, prev_preview = carry
+                    cache = None
                 t, prev_t = step_in["t"], step_in["prev_t"]
                 bsz = latents.shape[0]
                 tb = jnp.full((latents.shape[0] * (2 if do_cfg else 1),), t, jnp.int32)
                 latent_in = double(latents)
 
+                def carry_out(new_latents):
+                    base = (new_latents, key, preview_factor, prev_preview)
+                    return base + ((cache,) if deepcache else ())
+
                 if mode == "C":
-                    noise_pred = cfg_combine(unet_apply(params, latent_in, tb, cond, 0.0, ip_base))
+                    if deepcache:
+                        def fresh_c(lat_in):
+                            out, deep = unet_apply(params, lat_in, tb, cond, 0.0, ip_base,
+                                                   return_deep=True, cache_depth=dc_depth)
+                            return out, deep.astype(cache["deep"].dtype)
+
+                        def stale_c(lat_in):
+                            out = unet_apply(params, lat_in, tb, cond, 0.0, ip_base,
+                                             cached_deep=cache["deep"], cache_depth=dc_depth)
+                            return out, cache["deep"]
+
+                        noise_raw, deep = jax.lax.cond(step_in["refresh"] > 0, fresh_c, stale_c, latent_in)
+                        cache = {**cache, "deep": deep}
+                    else:
+                        noise_raw = unet_apply(params, latent_in, tb, cond, 0.0, ip_base)
+                    noise_pred = cfg_combine(noise_raw)
                     key, sub = jax.random.split(key)
                     latents, pred_x0 = ddpm_step(
                         schedule,
@@ -450,71 +502,121 @@ class InstantIRPipeline:
                         latents,
                         jax.random.normal(sub, latents.shape, jnp.float32),
                     )
-                    return (latents, key, preview_factor, prev_preview), ()
+                    return carry_out(latents), ()
 
                 # A/B: controlnet active. The CFG batch layout is
                 # [uncond, text]; the share_* flags compute the control branch
                 # on the text half only and broadcast it (RestoreConfig note).
                 share_preview = do_cfg and not cfg.preview_cfg
                 share_cnet = do_cfg and not cfg.controlnet_cfg
-                if mode == "B":
-                    p_lat = latents if share_preview else latent_in
-                    p_tb = tb[:bsz] if share_preview else tb
-                    p_cond = {k: v[-bsz:] for k, v in cond.items()} if share_preview else cond
-                    p_ip = ip_lora[-bsz:] if share_preview else ip_lora
-                    if prev_params is not None:  # merged-LoRA weights, static skip
-                        preview_noise = unet_apply(prev_params, p_lat, p_tb, p_cond, 0.0, p_ip)
-                    else:
-                        preview_noise = unet_apply(params, p_lat, p_tb, p_cond, cfg.lora_alpha, p_ip)
-                    preview_latent = lcm_single_step(schedule, preview_noise, p_tb, p_lat)
-                    if share_preview:
-                        preview_latent = double(preview_latent)
-                elif reference_latents is not None:
-                    preview_latent = reference_latents  # caller-supplied (reference :1579-1580)
-                else:
-                    preview_latent = image_latent  # LQ latent (reference :1582)
 
-                # Heun lookahead (multistep_restore, reference :1569-1577):
-                # deterministic first-order DDPM step with the previewer's
-                # text-cond noise predicts x at timesteps[i+1]; aggregator and
-                # main UNet then evaluate at (x̂_next, next_t). Skipped on the
-                # final step of the sequence (has_next mask).
-                latent_eval, tb_eval = latent_in, tb
-                if cfg.multistep_restore and mode == "B":
-                    has_next = step_in["has_next"]
-                    next_tb = jnp.full((bsz,), step_in["next_t"], jnp.int32)
-                    noise_preview = preview_noise[-bsz:]  # text-cond half (:1570)
-                    first_prev, _ = ddpm_step(
-                        schedule, noise_preview,
-                        jnp.full((bsz,), t, jnp.int32),
-                        jnp.full((bsz,), prev_t, jnp.int32),
-                        latents, noise=None,
+                def compute_preview(latent_in_, tb_, latents_):
+                    """(preview_latent [CFG batch], previewer noise or None)."""
+                    if mode == "B":
+                        p_lat = latents_ if share_preview else latent_in_
+                        p_tb = tb_[:bsz] if share_preview else tb_
+                        p_cond = {k: v[-bsz:] for k, v in cond.items()} if share_preview else cond
+                        p_ip = ip_lora[-bsz:] if share_preview else ip_lora
+                        if prev_params is not None:  # merged-LoRA weights, static skip
+                            preview_noise = unet_apply(prev_params, p_lat, p_tb, p_cond, 0.0, p_ip)
+                        else:
+                            preview_noise = unet_apply(params, p_lat, p_tb, p_cond, cfg.lora_alpha, p_ip)
+                        preview_latent = lcm_single_step(schedule, preview_noise, p_tb, p_lat)
+                        if share_preview:
+                            preview_latent = double(preview_latent)
+                        return preview_latent, preview_noise
+                    if reference_latents is not None:
+                        return reference_latents, None  # caller-supplied (reference :1579-1580)
+                    return image_latent, None  # LQ latent (reference :1582)
+
+                def run_aggregator(preview_latent, tb_):
+                    down_res, mid_res = aggregator.apply(
+                        params["aggregator"],
+                        image_latent[-bsz:] if share_cnet else image_latent,
+                        tb_[:bsz] if share_cnet else tb_,
+                        controlnet_cond=(preview_latent[-bsz:] if share_cnet else preview_latent).astype(latents.dtype),
+                        added_text_embeds=cond["pooled_embeds"][-bsz:] if share_cnet else cond["pooled_embeds"],
+                        added_time_ids=cond["time_ids"][-bsz:] if share_cnet else cond["time_ids"],
                     )
-                    eval_lat = jnp.where(has_next > 0, first_prev.astype(latents.dtype), latents)
-                    latent_eval = double(eval_lat)
-                    tb_eval = jnp.where(has_next > 0, jnp.full_like(tb, step_in["next_t"]), tb)
-
-                down_res, mid_res = aggregator.apply(
-                    params["aggregator"],
-                    image_latent[-bsz:] if share_cnet else image_latent,
-                    tb_eval[:bsz] if share_cnet else tb_eval,
-                    controlnet_cond=(preview_latent[-bsz:] if share_cnet else preview_latent).astype(latents.dtype),
-                    added_text_embeds=cond["pooled_embeds"][-bsz:] if share_cnet else cond["pooled_embeds"],
-                    added_time_ids=cond["time_ids"][-bsz:] if share_cnet else cond["time_ids"],
-                )
-                if share_cnet:
-                    down_res = tuple(double(r) for r in down_res)
-                    mid_res = double(mid_res)
+                    if share_cnet:
+                        down_res = tuple(double(r) for r in down_res)
+                        mid_res = double(mid_res)
+                    return down_res, mid_res
 
                 # adaptive restoration scaling (reference :1538-1540)
                 ada = jnp.clip(preview_factor, 0.0, cfg.controlnet_conditioning_scale)
                 cond_scale = double(ada)
-                down_res = tuple(r * cond_scale.astype(r.dtype) for r in down_res)
-                mid_res = mid_res * cond_scale.astype(mid_res.dtype)
 
-                noise_pred = cfg_combine(
-                    unet_apply(params, latent_eval, tb_eval, cond, 0.0, ip_base, down_res, mid_res)
-                )
+                if deepcache:
+                    # refresh: full previewer → aggregator → main UNet, caching
+                    # the deep trunk + the shallow-skip residual slice; stale:
+                    # shallow UNet over the cached trunk, previewer/aggregator
+                    # skipped (their outputs are the cached values)
+                    def fresh_ab(op):
+                        latents_, latent_in_ = op
+                        preview_latent, _ = compute_preview(latent_in_, tb, latents_)
+                        down_res, mid_res = run_aggregator(preview_latent, tb)
+                        res_cache = tuple(
+                            r.astype(c.dtype) for r, c in zip(down_res, cache["res"])
+                        )
+                        down_s = tuple(r * cond_scale.astype(r.dtype) for r in down_res)
+                        mid_s = mid_res * cond_scale.astype(mid_res.dtype)
+                        noise_raw, deep = unet_apply(
+                            params, latent_in_, tb, cond, 0.0, ip_base, down_s, mid_s,
+                            return_deep=True, cache_depth=dc_depth,
+                        )
+                        new_cache = {
+                            "deep": deep.astype(cache["deep"].dtype),
+                            "res": res_cache,
+                            "preview": preview_latent[-bsz:].astype(cache["preview"].dtype),
+                        }
+                        return noise_raw, new_cache
+
+                    def stale_ab(op):
+                        latents_, latent_in_ = op
+                        res_s = tuple(r * cond_scale.astype(r.dtype) for r in cache["res"])
+                        noise_raw = unet_apply(
+                            params, latent_in_, tb, cond, 0.0, ip_base, res_s, None,
+                            cached_deep=cache["deep"], cache_depth=dc_depth,
+                        )
+                        return noise_raw, cache
+
+                    noise_raw, cache = jax.lax.cond(
+                        step_in["refresh"] > 0, fresh_ab, stale_ab, (latents, latent_in)
+                    )
+                    noise_pred = cfg_combine(noise_raw)
+                    preview_text = cache["preview"]
+                else:
+                    preview_latent, preview_noise = compute_preview(latent_in, tb, latents)
+
+                    # Heun lookahead (multistep_restore, reference :1569-1577):
+                    # deterministic first-order DDPM step with the previewer's
+                    # text-cond noise predicts x at timesteps[i+1]; aggregator and
+                    # main UNet then evaluate at (x̂_next, next_t). Skipped on the
+                    # final step of the sequence (has_next mask).
+                    latent_eval, tb_eval = latent_in, tb
+                    if cfg.multistep_restore and mode == "B":
+                        has_next = step_in["has_next"]
+                        noise_preview = preview_noise[-bsz:]  # text-cond half (:1570)
+                        first_prev, _ = ddpm_step(
+                            schedule, noise_preview,
+                            jnp.full((bsz,), t, jnp.int32),
+                            jnp.full((bsz,), prev_t, jnp.int32),
+                            latents, noise=None,
+                        )
+                        eval_lat = jnp.where(has_next > 0, first_prev.astype(latents.dtype), latents)
+                        latent_eval = double(eval_lat)
+                        tb_eval = jnp.where(has_next > 0, jnp.full_like(tb, step_in["next_t"]), tb)
+
+                    down_res, mid_res = run_aggregator(preview_latent, tb_eval)
+                    down_res = tuple(r * cond_scale.astype(r.dtype) for r in down_res)
+                    mid_res = mid_res * cond_scale.astype(mid_res.dtype)
+
+                    noise_pred = cfg_combine(
+                        unet_apply(params, latent_eval, tb_eval, cond, 0.0, ip_base, down_res, mid_res)
+                    )
+                    preview_text = preview_latent[-bsz:]  # text-cond half under CFG
+
                 key, sub = jax.random.split(key)
                 new_latents, pred_x0 = ddpm_step(
                     schedule,
@@ -525,22 +627,30 @@ class InstantIRPipeline:
                     jax.random.normal(sub, latents.shape, jnp.float32),
                 )
 
-                preview_text = preview_latent[-bsz:]  # text-cond half under CFG
                 # the reference updates the factors on every controlnet-active
                 # step (mode A uses the LQ latent as "preview", :1636-1644);
                 # in phase C cond_scale multiplies zero residuals so freezing
-                # the factor there is behavior-identical.
+                # the factor there is behavior-identical. Under deepcache the
+                # update only happens on refresh steps (stale steps carry no
+                # fresh preview).
                 if cfg.adastep_restore and mode in ("A", "B"):
                     # preview_factor ← ‖preview−x̂0‖² / ‖preview−prev_preview‖²  (:1636-1644)
                     d_pred = jnp.sum((preview_text.astype(jnp.float32) - pred_x0.astype(jnp.float32)) ** 2, axis=(1, 2, 3))
                     d_prev = jnp.sum((preview_text.astype(jnp.float32) - prev_preview) ** 2, axis=(1, 2, 3))
-                    preview_factor = (d_pred / jnp.maximum(d_prev, 1e-12)).reshape(-1, 1, 1, 1)
-                    prev_preview = preview_text.astype(jnp.float32)
+                    new_factor = (d_pred / jnp.maximum(d_prev, 1e-12)).reshape(-1, 1, 1, 1)
+                    new_prev = preview_text.astype(jnp.float32)
+                    if deepcache:
+                        is_refresh = step_in["refresh"] > 0
+                        preview_factor = jnp.where(is_refresh, new_factor, preview_factor)
+                        prev_preview = jnp.where(is_refresh, new_prev, prev_preview)
+                    else:
+                        preview_factor, prev_preview = new_factor, new_prev
 
                 # only real previews enter the row (the reference appends only
-                # on previewing steps, :1564-1567)
+                # on previewing steps, :1564-1567; under deepcache stale steps
+                # emit the cached preview)
                 preview_out = preview_text if (cfg.save_preview_row and mode == "B") else ()
-                return (new_latents, key, preview_factor, prev_preview), preview_out
+                return carry_out(new_latents), preview_out
 
             return body
 
@@ -550,6 +660,30 @@ class InstantIRPipeline:
             preview_factor = jnp.ones((bsz, 1, 1, 1), jnp.float32)
             prev_preview = jnp.zeros(latents.shape, jnp.float32)
             carry = (latents, key, preview_factor, prev_preview)
+            if deepcache:
+                # zero-initialized caches; build_step_phases guarantees the
+                # first step of every phase is a refresh, so zeros never feed
+                # a UNet
+                bsz2 = bsz * (2 if do_cfg else 1)
+                h, w = latents.shape[1], latents.shape[2]
+                ucfg = unet.config
+                res_shapes = [(bsz2, h, w, ucfg.block_out_channels[0])]
+                for lvl in range(dc_depth):
+                    c = ucfg.block_out_channels[lvl]
+                    lh, lw = h >> lvl, w >> lvl
+                    res_shapes += [(bsz2, lh, lw, c)] * ucfg.layers_per_block
+                    if lvl < dc_depth - 1:
+                        res_shapes.append((bsz2, lh >> 1, lw >> 1, c))
+                cache = {
+                    "deep": jnp.zeros(
+                        (bsz2, h >> (dc_depth - 1), w >> (dc_depth - 1),
+                         ucfg.block_out_channels[dc_depth]),
+                        latents.dtype,
+                    ),
+                    "res": tuple(jnp.zeros(s, latents.dtype) for s in res_shapes),
+                    "preview": jnp.zeros(latents.shape, latents.dtype),
+                }
+                carry = carry + (cache,)
             previews = []
             prev_params = None
             if prev_unet is not None:
@@ -589,6 +723,8 @@ class InstantIRPipeline:
                 if cfg.multistep_restore and phase["mode"] == "B":
                     steps["next_t"] = jnp.asarray(phase["next_t"], jnp.int32)
                     steps["has_next"] = jnp.asarray(phase["has_next"], jnp.float32)
+                if deepcache:
+                    steps["refresh"] = jnp.asarray(phase["refresh"], jnp.float32)
                 carry, phase_previews = jax.lax.scan(body, carry, steps)
                 if cfg.save_preview_row and phase["mode"] == "B":
                     previews.append(phase_previews)

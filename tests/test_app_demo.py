@@ -1,6 +1,9 @@
 """Demo dual-adapter switching (reference ``gradio_demo/app.py:67-70,115-120``):
 the app holds the previewer LoRA and an LCM LoRA side by side and swaps the
-UNet's LoRA leaves functionally on the Creative checkbox."""
+UNet's LoRA leaves functionally on the Creative checkbox. Plus the stdlib
+demo UI (no gradio in this environment): page + JSON restore API driven over
+real HTTP, including the per-step preview gallery and creative-mode adapter
+switch."""
 
 import numpy as np
 import jax
@@ -64,3 +67,72 @@ def test_load_lcm_lora_variant_from_file(pipe, tmp_path):
     assert set(variant) == set(previewer)
     some = next(k for k in variant if "lora_a" in [str(p) for p in k])
     assert np.abs(np.asarray(variant[some]) - np.asarray(previewer[some])).max() > 0.1
+
+
+def test_stdlib_demo_ui_http(pipe):
+    """GET / serves the page; POST /api/restore runs the tiny pipeline and
+    returns base64-PNG result + previews; creative=1 switches the adapter."""
+    import base64
+    import io
+    import json
+    import threading
+    from http.client import HTTPConnection
+
+    from PIL import Image
+
+    from instantir_tpu.cli.app import InstantIRApp, make_demo_http_server
+
+    ucfg = pipe.unet.config
+    cross = ucfg.cross_attention_dim
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
+
+    def encode(prompts):
+        rngs = [np.random.default_rng(abs(hash(p)) % 2**31) for p in prompts]
+        pe = jnp.asarray(np.stack([r.normal(size=(7, cross)) for r in rngs]), jnp.float32) * 0.1
+        pooled = jnp.asarray(np.stack([r.normal(size=(pooled_dim,)) for r in rngs]), jnp.float32) * 0.1
+        return pe, pooled
+
+    previewer = extract_unet_lora(pipe.params["unet"])
+    lcm = {k: np.asarray(v) + 0.03 for k, v in previewer.items()}
+    app = InstantIRApp(pipe, encode, lora_variants={"lcm": lcm})
+
+    httpd = make_demo_http_server(app, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("GET", "/")
+        page = conn.getresponse()
+        assert page.status == 200
+        html = page.read().decode()
+        assert "Creative Restoration" in html and "/api/restore" in html
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(buf, format="PNG")
+        png = buf.getvalue()
+        # tiny-model sizing: width/height 32, no min-side rail, /16 snapping
+        tiny = "width=32&height=32&min_side=16&max_side=64&base_pixel_number=16"
+
+        conn.request("POST", f"/api/restore?steps=2&previews=1&{tiny}", body=png,
+                     headers={"Content-Length": str(len(png))})
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        assert resp.status == 200, data
+        out = Image.open(io.BytesIO(base64.b64decode(data["image"])))
+        assert out.size == (32, 32)
+        assert data["adapter"] == "previewer"
+        assert len(data["previews"]) >= 1
+        Image.open(io.BytesIO(base64.b64decode(data["previews"][0])))
+
+        conn.request("POST", f"/api/restore?steps=2&creative=1&{tiny}", body=png,
+                     headers={"Content-Length": str(len(png))})
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        assert resp.status == 200, data
+        assert data["adapter"] == "lcm"  # Creative checkbox switched the LoRA set
+
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+    finally:
+        httpd.shutdown()
+        app.set_adapter("previewer")  # leave the module-scoped pipe untouched

@@ -249,6 +249,71 @@ def test_cfg_shared_control_branch_diverges_bounded(pipe, rng):
     assert rel < 0.5, rel
 
 
+def test_deepcache_refresh_schedule():
+    """Every interval-th step refreshes; phase starts always refresh."""
+    from instantir_tpu.pipeline.instantir import build_step_phases
+
+    cfg = RestoreConfig(num_inference_steps=6, guidance_scale=7.0,
+                        preview_start=0.25, deepcache_interval=3)
+    phases = build_step_phases(cfg)
+    # steps 0-1 (A: 1/6 < 0.25), 2-5 (B): global refreshes at 0 and 3
+    # (i % 3 == 0); forced refresh at the B phase start (step 2)
+    flags = [(p["mode"], f) for p in phases for f in p["refresh"]]
+    assert flags == [("A", 1.0), ("A", 0.0), ("B", 1.0), ("B", 1.0), ("B", 0.0), ("B", 0.0)]
+
+
+def test_deepcache_exact_when_every_step_refreshes(pipe, rng):
+    """interval=2 on a schedule where phase starts + even steps cover every
+    step: the deepcache path must reproduce the exact path (the refresh branch
+    is the plain computation; the split itself is bit-exact at equal step)."""
+    lq, pe, pp = _inputs(pipe, rng)
+    kw = dict(output_type="latent", key=jax.random.PRNGKey(6))
+    # 3 steps, preview from step 1 (1/3 ≥ 0.3): phases A(0), B(1,2);
+    # refreshes: 0 (global), 1 (phase start), 2 (global) — no stale step
+    base = dict(num_inference_steps=3, guidance_scale=7.0, preview_start=0.3)
+    lat_exact, _ = pipe.restore(lq, pe, pp, cfg=RestoreConfig(**base), **kw)
+    lat_dc, _ = pipe.restore(lq, pe, pp, cfg=RestoreConfig(**base, deepcache_interval=2), **kw)
+    np.testing.assert_allclose(np.asarray(lat_dc), np.asarray(lat_exact), rtol=1e-4, atol=1e-4)
+
+
+def test_deepcache_diverges_bounded(pipe, rng):
+    """With genuinely stale steps the trajectory is an approximation: finite,
+    same shape, different from exact, not wildly off."""
+    lq, pe, pp = _inputs(pipe, rng)
+    kw = dict(output_type="latent", key=jax.random.PRNGKey(7))
+    base = dict(num_inference_steps=6, guidance_scale=7.0, preview_start=0.25)
+    lat_exact, _ = pipe.restore(lq, pe, pp, cfg=RestoreConfig(**base), **kw)
+    lat_dc, _ = pipe.restore(lq, pe, pp, cfg=RestoreConfig(**base, deepcache_interval=3), **kw)
+    assert lat_dc.shape == lat_exact.shape
+    assert np.isfinite(np.asarray(lat_dc)).all()
+    diff = np.abs(np.asarray(lat_dc) - np.asarray(lat_exact)).max()
+    assert diff > 1e-7  # stale steps actually took the cached branch
+    rel = float(np.linalg.norm(np.asarray(lat_dc - lat_exact)) / np.linalg.norm(np.asarray(lat_exact)))
+    assert rel < 0.5, rel
+
+
+def test_deepcache_depth2_preview_row_and_shared_cfg(pipe, rng):
+    """Composes: cache_depth=2, preview row (one entry per mode-B step, stale
+    steps emit the cached preview), and the shared-CFG control branch."""
+    lq, pe, pp = _inputs(pipe, rng)
+    cfg = RestoreConfig(num_inference_steps=6, guidance_scale=7.0, preview_start=0.25,
+                        deepcache_interval=2, deepcache_depth=2,
+                        preview_cfg=False, controlnet_cfg=False, save_preview_row=True)
+    img, previews = pipe.restore(lq, pe, pp, cfg=cfg, key=jax.random.PRNGKey(8))
+    assert np.isfinite(np.asarray(img)).all()
+    assert len(previews) == 4  # steps 2..5 are mode B at preview_start=0.25
+    for p in previews:
+        assert p.shape[0] == 1 and np.isfinite(np.asarray(p)).all()
+
+
+def test_deepcache_rejects_multistep(pipe, rng):
+    lq, pe, pp = _inputs(pipe, rng)
+    cfg = RestoreConfig(num_inference_steps=4, guidance_scale=7.0, preview_start=0.25,
+                        deepcache_interval=2, multistep_restore=True)
+    with pytest.raises(ValueError, match="incompatible"):
+        pipe.restore(lq, pe, pp, cfg=cfg, output_type="latent")
+
+
 def test_fused_restore_matches_staged(pipe, rng):
     """cfg.fused compiles the whole restore into one program; math and RNG
     stream are identical to the staged path, so images must agree (tolerance

@@ -14,7 +14,7 @@ import pytest
 
 import jax
 
-from instantir_tpu.cli.serve import RestoreServer, ServeConfig, make_http_server
+from instantir_tpu.cli.serve import RestoreServer, ServeConfig, _Request, make_http_server
 from instantir_tpu.models.dinov2 import tiny_dinov2_config
 from instantir_tpu.models.resampler import tiny_resampler_config
 from instantir_tpu.models.unet import tiny_unet_config
@@ -92,6 +92,41 @@ def test_prompt_embed_cache(server):
     # the second submit must not re-encode "a cached prompt"
     assert ("a cached prompt" in {p for c in server._encode_calls for p in c})
     assert n_after - n_before <= 2  # 1 novel prompt + possibly its neg default
+
+
+def _queued_request(i=0):
+    return _Request(
+        image=np.full((RES, RES, 3), 0.01 * i, np.float32),
+        prompt="drain test", neg_prompt="", out_size=(RES, RES),
+    )
+
+
+def test_graceful_drain_finishes_queued_requests(server):
+    """drain() must complete every accepted request before stopping (the
+    serving counterpart of trainer preemption handling), then refuse new
+    submissions."""
+    srv2 = RestoreServer(server.pipe, server.encode_fn, server.cfg)
+    reqs = [_queued_request(i) for i in range(3)]  # > batch_size=2: two batches
+    for r in reqs:
+        srv2._queue.put(r)
+    srv2._worker.start()
+    srv2.drain(timeout=600)
+    for r in reqs:
+        assert r.done.is_set() and r.error is None
+        assert r.result.shape == (RES, RES, 3)
+    with pytest.raises(RuntimeError, match="draining"):
+        srv2.submit(np.zeros((RES, RES, 3), np.uint8))
+
+
+def test_stop_unblocks_queued_waiters(server):
+    """Immediate stop() must fail still-queued requests so their waiters
+    unblock instead of hanging until timeout."""
+    srv2 = RestoreServer(server.pipe, server.encode_fn, server.cfg)
+    req = _queued_request()
+    srv2._queue.put(req)
+    srv2.stop()  # worker never started — the request can only be flushed
+    assert req.done.is_set()
+    assert isinstance(req.error, RuntimeError)
 
 
 def test_http_roundtrip(server):

@@ -113,6 +113,58 @@ def test_bf16_forward(unet_and_params):
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
 
 
+def _residuals(scale=0.1):
+    shapes = [(2, 16, 16, 32), (2, 16, 16, 32), (2, 16, 16, 32), (2, 8, 8, 32)]
+    shapes += [(2, 8, 8, 64), (2, 8, 8, 64), (2, 4, 4, 64)]
+    shapes += [(2, 4, 4, 64), (2, 4, 4, 64)]
+    return tuple(jnp.full(s, scale, jnp.float32) for s in shapes)
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_deepcache_split_is_exact_same_step(unet_and_params, depth):
+    """shallow(x, cached_deep=deep(x)) must equal full(x) bit-for-bit — the
+    DeepCache split (arXiv 2312.03209) only approximates when the trunk is
+    reused across timesteps."""
+    model, params, inputs = unet_and_params
+    full, deep = model.apply(params, **inputs, return_deep=True, cache_depth=depth)
+    shallow = model.apply(params, **inputs, cached_deep=deep, cache_depth=depth)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(shallow))
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_deepcache_split_exact_with_residuals(unet_and_params, depth):
+    """Same exactness with controlnet residuals: shallow gets the first
+    3·depth entries (the shallow skip slice)."""
+    model, params, inputs = unet_and_params
+    res = _residuals()
+    mid = jnp.full((2, 4, 4, 64), 0.1, jnp.float32)
+    full, deep = model.apply(
+        params, **inputs, down_block_additional_residuals=res,
+        mid_block_additional_residual=mid, return_deep=True, cache_depth=depth,
+    )
+    shallow = model.apply(
+        params, **inputs, down_block_additional_residuals=res[: 3 * depth],
+        cached_deep=deep, cache_depth=depth,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(shallow))
+
+
+def test_deepcache_shallow_rejects_wrong_residual_count(unet_and_params):
+    model, params, inputs = unet_and_params
+    _, deep = model.apply(params, **inputs, return_deep=True, cache_depth=1)
+    with pytest.raises(ValueError, match="shallow mode expects"):
+        model.apply(
+            params, **inputs, down_block_additional_residuals=_residuals(),
+            cached_deep=deep, cache_depth=1,
+        )
+
+
+def test_deepcache_cache_depth_bounds(unet_and_params):
+    model, params, inputs = unet_and_params
+    with pytest.raises(ValueError, match="cache_depth"):
+        model.apply(params, **inputs, return_deep=True, cache_depth=3)
+
+
 def test_param_count_tiny(unet_and_params):
     _, params, _ = unet_and_params
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
