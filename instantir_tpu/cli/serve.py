@@ -351,6 +351,10 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--mesh", action="store_true",
                    help="shard the serve batch over all local devices (batch_size "
                    "must divide by the device count)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="with --mesh: tensor-parallel axis size (devices = "
+                   "data × model). model>1 splits attention/MLP weights over "
+                   "chips to cut per-image latency, not just throughput")
     args = p.parse_args(argv)
 
     from instantir_tpu.parallel import initialize_distributed
@@ -365,7 +369,7 @@ def main(argv: Optional[List[str]] = None):
     if args.mesh:
         from instantir_tpu.parallel.mesh import make_mesh
 
-        pipe.shard(make_mesh())
+        pipe.shard(make_mesh(model_parallel=args.model_parallel))
     (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
 
     def encode(prompts: List[str]):

@@ -247,14 +247,27 @@ class InstantIRPipeline:
     # ------------------------------------------------------------------
 
     def shard(self, mesh):
-        """Attach a mesh: replicate params now, shard batches per call."""
+        """Attach a mesh: place params now, shard batches per call.
+
+        With a pure ``data`` mesh the parameters replicate (DP throughput
+        scaling, BASELINE config #5). If the mesh also has a ``model`` axis
+        of size > 1, parameters take the tensor-parallel layout instead
+        (``parallel.tp``: attention/MLP kernels split over heads/features,
+        each layer closed by one XLA-inserted all-reduce) — cutting
+        *per-image latency*, not just throughput, and the per-chip weight
+        footprint (~9.5 GB fits comfortably at model=2). The reference has
+        no multi-device inference at all (SURVEY §1)."""
         from instantir_tpu.parallel.mesh import replicate_params
+        from instantir_tpu.parallel.tp import tp_shard_params
 
         self.mesh = mesh
         if mesh is not None:
-            self.params = replicate_params(self.params, mesh)
+            tp = dict(mesh.shape).get("model", 1) > 1
+            place = (lambda p: tp_shard_params(p, mesh)) if tp else (
+                lambda p: replicate_params(p, mesh))
+            self.params = place(self.params)
             if self._prev_unet is not None:
-                self._prev_unet = replicate_params(self._prev_unet, mesh)
+                self._prev_unet = place(self._prev_unet)
             # drop cached uncond tokens computed under the old placement
             self._uncond_cache_params = None
         return self

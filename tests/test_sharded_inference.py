@@ -69,6 +69,33 @@ def test_sharded_restore_matches_single_device(pipes):
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=5e-3)
 
 
+def test_tensor_parallel_restore_matches_single_device(pipes):
+    """A (data=4, model=2) mesh: params take the TP layout (attention/MLP
+    kernels split over 'model', one all-reduce per layer inserted by XLA),
+    the batch still shards over 'data'. End-to-end restore must agree with
+    the single-device pipeline — this is the latency-scaling inference mode
+    (the reference has no multi-device inference at all, SURVEY §1)."""
+    single, _, bundle = pipes
+    tp_pipe = InstantIRPipeline(
+        bundle.unet, bundle.aggregator, bundle.vae, bundle.resampler, bundle.image_encoder,
+        bundle.schedule, bundle.params,
+    ).shard(make_mesh(model_parallel=2))
+    # the placement actually split kernels over 'model' (not just replicated)
+    split = [
+        x for x in jax.tree_util.tree_leaves(tp_pipe.params)
+        if hasattr(x, "sharding") and "model" in str(getattr(x.sharding, "spec", ""))
+    ]
+    assert len(split) > 10, "tensor-parallel placement did not split any kernel"
+
+    lq, pe, pooled = _inputs(bundle)
+    cfg = RestoreConfig(
+        num_inference_steps=4, guidance_scale=7.0, preview_start=0.25, control_guidance_end=0.75
+    )
+    lat_1, _ = single.restore(lq, pe, pooled, cfg=cfg, key=jax.random.PRNGKey(7), output_type="latent")
+    lat_tp, _ = tp_pipe.restore(lq, pe, pooled, cfg=cfg, key=jax.random.PRNGKey(7), output_type="latent")
+    np.testing.assert_allclose(np.asarray(lat_1), np.asarray(lat_tp), atol=1e-4, rtol=5e-3)
+
+
 def test_sharded_restore_rejects_indivisible_batch(pipes):
     _, sharded, bundle = pipes
     lq, pe, pooled = _inputs(bundle)
