@@ -330,6 +330,9 @@ def main():
     # BENCH_SHARED_CFG=1 → CFG single-pass control branch (preview/aggregator
     # on the text half only; opt-in approximation, docs/perf.md). The default
     # headline stays parity-exact with the reference.
+    # Opt-in EXTRA measurements (each a fresh 10-20 min remote compile on a
+    # cold cache — keep them off in driver runs): BENCH_SHARED_DETAIL=1 also
+    # times the shared-CFG branch; BENCH_DEEPCACHE=N>1 also times DeepCache.
     # BENCH_FUSED=1 → whole-restore single program (cfg.fused). Measured
     # NEUTRAL-to-slightly-slower here (9.18-9.24 vs 9.0 s staged): JAX's
     # async dispatch already overlaps the staged stages' relay latency, and
@@ -368,13 +371,27 @@ def main():
     dt = min(times)
     ips = batch / dt
 
+    # Print the headline IMMEDIATELY — round 2 lost its official number
+    # (BENCH_r02.json rc=124) because opt-in variants compiled for 10-20 min
+    # each AFTER the headline was measured but BEFORE anything was printed.
+    # Everything below this line is optional detail on stderr.
+    result = {
+        "metric": f"images/sec/chip ({res}², {steps}-step InstantIR, CFG 7, preview 0.1, creative 0.7, batch {batch})",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / A100_REF_IMG_PER_SEC, 2),
+    }
+    print(json.dumps(result), flush=True)
+
     detail = {
         "sec_per_image": round(dt / batch, 2),
         "first_call_s": round(compile_s, 1),
         "times": [round(t, 2) for t in times],
         "fused": fused,
     }
-    if not shared and os.environ.get("BENCH_SKIP_SHARED") != "1":
+    print(json.dumps({"detail": detail}), file=sys.stderr, flush=True)
+
+    if not shared and os.environ.get("BENCH_SHARED_DETAIL") == "1":
         # also measure the opt-in CFG single-pass control branch
         # (docs/perf.md) — reported in the detail line; the headline metric
         # stays the parity-exact configuration
@@ -392,13 +409,13 @@ def main():
             t0 = time.time()
             run_fast(i + 1)
             fast_times.append(time.time() - t0)
-        detail["shared_cfg"] = {
+        print(json.dumps({"shared_cfg": {
             "sec_per_image": round(min(fast_times) / batch, 2),
             "images_per_sec": round(batch / min(fast_times), 4),
             "note": "opt-in preview_cfg/controlnet_cfg=False (non-parity)",
-        }
+        }}), file=sys.stderr, flush=True)
 
-    dc_interval = int(os.environ.get("BENCH_DEEPCACHE", "2"))
+    dc_interval = int(os.environ.get("BENCH_DEEPCACHE", "1"))
     if dc_interval > 1:
         # opt-in DeepCache block caching (arXiv 2312.03209; docs/perf.md):
         # shallow-UNet steps between full refreshes, previewer+aggregator
@@ -421,23 +438,14 @@ def main():
                     t0 = time.time()
                     run_dc(i + 1)
                     dc_times.append(time.time() - t0)
-                detail[label] = {
+                print(json.dumps({label: {
                     "sec_per_image": round(min(dc_times) / batch, 2),
                     "images_per_sec": round(batch / min(dc_times), 4),
                     "interval": dc_interval,
                     "note": "opt-in block caching (non-parity)",
-                }
+                }}), file=sys.stderr, flush=True)
         except Exception as e:  # never let the opt-in detail sink the headline
-            detail["deepcache_error"] = str(e)[:200]
-
-    result = {
-        "metric": f"images/sec/chip ({res}², {steps}-step InstantIR, CFG 7, preview 0.1, creative 0.7, batch {batch})",
-        "value": round(ips, 4),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / A100_REF_IMG_PER_SEC, 2),
-    }
-    print(json.dumps(result))
-    print(json.dumps({"detail": detail}), file=sys.stderr)
+            print(json.dumps({"deepcache_error": str(e)[:200]}), file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
