@@ -13,6 +13,7 @@ kernels fold batch×heads.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -20,6 +21,30 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# --- sequence-parallel (ring attention) scope -------------------------------
+#
+# SURVEY §5's long-context stretch goal: at ≥2K² inputs the UNet's largest
+# self-attention passes 16K tokens (and the aggregator's H-concat doubles it)
+# — past what one chip should hold. ``sequence_parallel_scope`` arms a
+# trace-time switch: while active, ``dot_product_attention`` routes SELF-
+# attention whose sequence meets the threshold (and divides the mesh axis)
+# through ``parallel.ring_attention`` — K/V shards rotating over the ICI ring
+# via ppermute, exact online-softmax merge, O(S/n) memory per chip. The scope
+# only matters during TRACING: the pipeline activates it around the jit of a
+# ``RestoreConfig(sequence_parallel=True)`` sampler, so the ring collectives
+# are baked into that config's compiled program and cached per-config.
+
+_SP_SCOPE: list = []
+
+
+@contextlib.contextmanager
+def sequence_parallel_scope(mesh, axis: str = "data", min_seq: int = 8192):
+    _SP_SCOPE.append((mesh, axis, int(min_seq)))
+    try:
+        yield
+    finally:
+        _SP_SCOPE.pop()
 
 
 def attention_xla(
@@ -381,6 +406,15 @@ def dot_product_attention(
     what makes 1024² (8192-token aggregator) training steps feasible.
     """
     kv_len = k.shape[1]
+    if _SP_SCOPE and bias is None and q.shape[1] == kv_len:
+        # self-attention inside a sequence-parallel scope: ring it when the
+        # sequence meets the threshold and divides the mesh axis (cross/ip
+        # attention and external-KV concat never satisfy q_len == kv_len)
+        mesh, axis, min_seq = _SP_SCOPE[-1]
+        if kv_len >= min_seq and kv_len % mesh.shape[axis] == 0:
+            from instantir_tpu.parallel.ring_attention import ring_attention
+
+            return ring_attention(q, k, v, mesh, axis=axis, scale=scale)
     on_tpu = jax.default_backend() == "tpu"
     if use_flash and bias is None and on_tpu and kv_len >= 512 and q.shape[1] >= 128:
         return _flash_diff(q, k, v, q.shape[-1] ** -0.5 if scale is None else scale)

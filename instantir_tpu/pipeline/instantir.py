@@ -77,11 +77,13 @@ class RestoreConfig:
     lora_alpha: float = 1.0  # previewer LoRA strength when enabled
     # fold the previewer LoRA into a merged weight set inside the sampler
     # program (W + scale·(α/r)·AB) instead of paying the rank-r matmul pair
-    # at every linear/conv of every preview step (~20 ms/step at SDXL scale).
-    # Off by default: it holds base + merged + LoRA pairs simultaneously,
-    # which exceeds one v5e's HBM at SDXL scale — production inference uses
-    # ``InstantIRPipeline.freeze_previewer`` instead, which merges once and
-    # frees the LoRA pairs.
+    # at every linear/conv of every preview step (measured 6.9 ms/step ≈ 4%
+    # of the previewer forward after the round-2 flash-kernel rework —
+    # docs/perf.md). Off by default: it holds base + merged + LoRA pairs
+    # simultaneously, which exceeds one v5e's HBM at SDXL scale — and the
+    # once-merged ``InstantIRPipeline.freeze_previewer`` alternative is
+    # itself HBM-gated at 1024² (works ≤768²), so the dynamic branch is the
+    # production default.
     fuse_previewer_lora: bool = False
     # CFG single-pass control branch (opt-in approximations; defaults are
     # parity-exact with the reference, which runs previewer and aggregator on
@@ -128,6 +130,22 @@ class RestoreConfig:
     # (tests/test_restore_trajectory_oracle.py).
     multistep_restore: bool = False
     adastep_restore: bool = False
+    # Sequence-parallel (ring attention) restore for ≥2K² long-context inputs
+    # — SURVEY §5's stretch goal; the reference has no counterpart (its max
+    # attention sequence is 8192 tokens, done densely on one GPU). Requires
+    # an attached mesh. The batch is REPLICATED over the mesh instead of
+    # data-sharded (the mode exists precisely because ONE image's attention
+    # is too big for one chip), and every self-attention whose sequence is
+    # ≥ sp_min_seq and divides the 'data' axis runs as ring attention
+    # (parallel/ring_attention.py): K/V shards rotate over the ICI ring via
+    # ppermute with an exact online-softmax merge — O(S/n) attention memory
+    # per chip, bit-identical math. Latent parity with the dense path is
+    # tested end-to-end on the virtual 8-device mesh
+    # (tests/test_ring_attention.py). sp_min_seq=8192 rings the 16K/32K
+    # sequences a 2048² restore produces while leaving ≤1024² restores on
+    # the single-chip flash path.
+    sequence_parallel: bool = False
+    sp_min_seq: int = 8192
     save_preview_row: bool = False
     # VAE decode dtype: "float32" (reference force_upcast — its fp16 VAE
     # overflows) or "bfloat16" (range-safe on TPU: bf16 carries fp32's
@@ -252,11 +270,14 @@ class InstantIRPipeline:
         With a pure ``data`` mesh the parameters replicate (DP throughput
         scaling, BASELINE config #5). If the mesh also has a ``model`` axis
         of size > 1, parameters take the tensor-parallel layout instead
-        (``parallel.tp``: attention/MLP kernels split over heads/features,
-        each layer closed by one XLA-inserted all-reduce) — cutting
-        *per-image latency*, not just throughput, and the per-chip weight
-        footprint (~9.5 GB fits comfortably at model=2). The reference has
-        no multi-device inference at all (SURVEY §1)."""
+        (``parallel.tp``: attention/MLP kernels split over heads/features
+        AND resnet/sampler conv channels in column→row pairs, each pair
+        closed by one XLA-inserted all-reduce) — cutting *per-image latency*
+        and the per-chip weight footprint: 86% of UNet+Aggregator bytes
+        shard (tests/test_tensor_parallel.py), so the ~9.5 GB single-chip
+        parameter set drops to ~5.8 GB/chip at model=2 (7.4 GB sharded ÷ 2
+        + ~2.1 GB replicated encoders/norms). The reference has no
+        multi-device inference at all (SURVEY §1)."""
         from instantir_tpu.parallel.mesh import replicate_params
         from instantir_tpu.parallel.tp import tp_shard_params
 
@@ -334,12 +355,13 @@ class InstantIRPipeline:
             self._prev_unet = replicate_params(self._prev_unet, self.mesh)
         return self
 
-    def _shard_inputs(self, *arrays):
+    def _shard_inputs(self, *arrays, replicate: bool = False):
         if self.mesh is None:
             return arrays
-        from instantir_tpu.parallel.mesh import shard_batch
+        from instantir_tpu.parallel.mesh import replicate_params, shard_batch
 
-        return tuple(None if a is None else shard_batch(a, self.mesh) for a in arrays)
+        place = replicate_params if replicate else shard_batch
+        return tuple(None if a is None else place(a, self.mesh) for a in arrays)
 
     # ------------------------------------------------------------------
     # Encoders (run once per call, outside the denoise loop)
@@ -845,12 +867,18 @@ class InstantIRPipeline:
         if key is None:
             key = jax.random.PRNGKey(0)
         b, h, w, _ = lq_images.shape
-        if self.mesh is not None and b % self.mesh.shape["data"]:
+        seq_par = cfg.sequence_parallel and self.mesh is not None
+        if self.mesh is not None and not seq_par and b % self.mesh.shape["data"]:
             raise ValueError(f"batch {b} not divisible by mesh data axis {self.mesh.shape['data']}")
+        if cfg.sequence_parallel and self.mesh is None:
+            raise ValueError("sequence_parallel=True requires an attached mesh (pipe.shard(mesh))")
+        if seq_par and cfg.fused:
+            raise ValueError("sequence_parallel does not compose with cfg.fused")
         lq_images, prompt_embeds, pooled_embeds, negative_prompt_embeds, negative_pooled_embeds, reference_latents = (
             self._shard_inputs(
                 lq_images, prompt_embeds, pooled_embeds, negative_prompt_embeds, negative_pooled_embeds,
                 reference_latents,
+                replicate=seq_par,  # one image's attention spans the mesh, not the batch
             )
         )
         prev_unet = None
@@ -931,10 +959,22 @@ class InstantIRPipeline:
         cond_image_latent = jnp.concatenate([image_latent] * 2, axis=0) if cfg.do_cfg else image_latent
         if reference_latents is not None and cfg.do_cfg:
             reference_latents = jnp.concatenate([reference_latents] * 2, axis=0)
-        latents, preview_row = self.sample_fn(cfg)(
-            params, latents, cond, cond_image_latent, ip_base, ip_lora, key,
-            reference_latents=reference_latents, prev_unet=prev_unet,
+        # the sequence-parallel scope matters at TRACE time: the ring
+        # collectives bake into this cfg's cached jit (sample_fn caches
+        # per-RestoreConfig, and sequence_parallel is part of the config)
+        import contextlib as _ctx
+
+        from instantir_tpu.ops.attention import sequence_parallel_scope
+
+        scope = (
+            sequence_parallel_scope(self.mesh, min_seq=cfg.sp_min_seq)
+            if seq_par else _ctx.nullcontext()
         )
+        with scope:
+            latents, preview_row = self.sample_fn(cfg)(
+                params, latents, cond, cond_image_latent, ip_base, ip_lora, key,
+                reference_latents=reference_latents, prev_unet=prev_unet,
+            )
 
         if output_type == "latent":
             return latents, preview_row
