@@ -106,7 +106,15 @@ def synth_params(module, init_fn):
 
 
 def bench_degradation_vae(res=512):
-    """BASELINE config #1: degradation + VAE encode/decode roundtrip."""
+    """BASELINE config #1: degradation + VAE encode/decode roundtrip.
+
+    The whole chain is jitted as ONE program: the degradation's host-RNG
+    decisions (resize mode/scale, noise family, JPEG-vs-sinc order) are drawn
+    once at trace time from a fixed host seed — exactly how the trainers run
+    it (one compiled recipe instance per shape, device noise varying by key).
+    Eagerly, the chain is ~10² separate ops whose shapes change with every
+    host draw, i.e. hundreds of fresh remote-tunnel compiles per call — the
+    round-2 timeout mode the driver gate must never hit again."""
     from instantir_tpu.data.degradation import RealESRGANDegradation
     from instantir_tpu.models.vae import AutoencoderKL, sdxl_vae_config, scale_latents, unscale_latents
 
@@ -119,16 +127,24 @@ def bench_degradation_vae(res=512):
     gt = jnp.asarray(rng.uniform(size=(1, res, res, 3)), jnp.float32)
     kernels = deg.sample_kernels(rng, 1)
 
+    @jax.jit
+    def roundtrip(params, gt, key):
+        k_deg, k_vae = jax.random.split(key)
+        lq, _ = deg(k_deg, gt, kernels=kernels, host_rng=np.random.default_rng(0))
+        z = scale_latents(vcfg, vae.apply(params, lq, rng=k_vae, sample=True, method=vae.encode))
+        img = vae.apply(params, unscale_latents(vcfg, z), method=vae.decode)
+        return img
+
     def run(seed):
-        lq, _ = deg(jax.random.PRNGKey(seed), gt, kernels=kernels, host_rng=np.random.default_rng(seed))
-        z = scale_latents(vcfg, vae.apply(vparams, lq, rng=jax.random.PRNGKey(0), sample=True, method=vae.encode))
-        img = vae.apply(vparams, unscale_latents(vcfg, z), method=vae.decode)
-        return float(np.asarray(img[0, 0, 0, 0]))
+        return float(np.asarray(roundtrip(vparams, gt, jax.random.PRNGKey(seed))[0, 0, 0, 0]))
 
     run(0)
-    t0 = time.time()
-    run(1)
-    dt = time.time() - t0
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    dt = min(times)
     return {"metric": f"degradation+VAE roundtrip {res}²", "value": round(1 / dt, 3), "unit": "iters/sec",
             "vs_baseline": 0.0}
 

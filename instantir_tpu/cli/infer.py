@@ -118,6 +118,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="number of shallow UNet levels recomputed on cached steps "
         "(higher = closer to exact, less speedup)",
     )
+    p.add_argument(
+        "--sequence_parallel", action="store_true",
+        help="long-context mode for ≥2K² inputs: replicate the batch over all "
+        "local devices and ring-attend long self-attention sequences over the "
+        "mesh (exact math, O(S/n) attention memory per chip — docs/perf.md)",
+    )
+    p.add_argument(
+        "--sp_min_seq", type=int, default=8192,
+        help="with --sequence_parallel: minimum self-attention sequence "
+        "length that takes the ring path",
+    )
     return p
 
 
@@ -175,7 +186,13 @@ def main(argv: Optional[List[str]] = None):
         fused=args.fused,
         deepcache_interval=args.deepcache_interval,
         deepcache_depth=args.deepcache_depth,
+        sequence_parallel=args.sequence_parallel,
+        sp_min_seq=args.sp_min_seq,
     )
+    if args.sequence_parallel:
+        from instantir_tpu.parallel.mesh import make_mesh
+
+        pipe.shard(make_mesh())
 
     for i in range(0, len(files), args.batch_size):
         batch_files = files[i : i + args.batch_size]

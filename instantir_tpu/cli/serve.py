@@ -353,8 +353,10 @@ def main(argv: Optional[List[str]] = None):
                    "must divide by the device count)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="with --mesh: tensor-parallel axis size (devices = "
-                   "data × model). model>1 splits attention/MLP weights over "
-                   "chips to cut per-image latency, not just throughput")
+                   "data × model). model>1 splits attention/MLP AND conv "
+                   "weights over chips (86%% of UNet+Aggregator bytes, "
+                   "parallel/tp.py) to cut per-image latency and per-chip "
+                   "weight footprint, not just throughput")
     args = p.parse_args(argv)
 
     from instantir_tpu.parallel import initialize_distributed

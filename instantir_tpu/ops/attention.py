@@ -47,6 +47,53 @@ def sequence_parallel_scope(mesh, axis: str = "data", min_seq: int = 8192):
         _SP_SCOPE.pop()
 
 
+# --- tensor-parallel flash scope ---------------------------------------------
+#
+# Under the TP layout (parallel/tp.py) attention q/k/v arrive head-sharded
+# over the 'model' axis. XLA partitions its own einsums on the head dim for
+# free, but a pallas_call is an opaque custom call with no sharding rule —
+# GSPMD falls back to all-gathering the operands and running the FULL
+# attention replicated on every chip (verified on the virtual mesh), which
+# silently forfeits TP's latency win for the ~26%-of-step attention cost.
+# While this scope is active, the flash path instead runs under shard_map:
+# each chip executes the Pallas kernel on its local heads (and local batch
+# rows when the batch divides the 'data' axis) — zero attention collectives.
+
+_TP_SCOPE: list = []
+
+
+@contextlib.contextmanager
+def tensor_parallel_scope(mesh, axis: str = "model"):
+    _TP_SCOPE.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _TP_SCOPE.pop()
+
+
+def _tp_flash(q, k, v, scale, mesh, axis, interpret=False):
+    """Flash attention with heads (and batch, when divisible) shard_mapped."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data_ok = (
+        "data" in mesh.shape and mesh.shape["data"] > 1 and q.shape[0] % mesh.shape["data"] == 0
+    )
+    spec = P("data" if data_ok else None, None, axis, None)
+
+    def local(q, k, v):
+        return _flash_diff(q, k, v, scale, interpret)
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # metadata, and the kernel is trivially per-shard (no collectives inside)
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
+    )(q, k, v)
+
+
 def attention_xla(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -417,5 +464,10 @@ def dot_product_attention(
             return ring_attention(q, k, v, mesh, axis=axis, scale=scale)
     on_tpu = jax.default_backend() == "tpu"
     if use_flash and bias is None and on_tpu and kv_len >= 512 and q.shape[1] >= 128:
-        return _flash_diff(q, k, v, q.shape[-1] ** -0.5 if scale is None else scale)
+        scale_v = q.shape[-1] ** -0.5 if scale is None else scale
+        if _TP_SCOPE:
+            mesh, axis = _TP_SCOPE[-1]
+            if mesh.shape[axis] > 1 and q.shape[2] % mesh.shape[axis] == 0:
+                return _tp_flash(q, k, v, scale_v, mesh, axis)
+        return _flash_diff(q, k, v, scale_v)
     return attention_xla(q, k, v, scale=scale, bias=bias)

@@ -355,6 +355,22 @@ class InstantIRPipeline:
             self._prev_unet = replicate_params(self._prev_unet, self.mesh)
         return self
 
+    def _trace_scopes(self, cfg):
+        """Trace-time parallelism scopes for this (mesh, cfg) pair: the ring
+        scope when sequence_parallel, the TP-flash shard_map scope when the
+        mesh has a model axis (see ops/attention.py)."""
+        import contextlib
+
+        from instantir_tpu.ops.attention import sequence_parallel_scope, tensor_parallel_scope
+
+        stack = contextlib.ExitStack()
+        if self.mesh is not None:
+            if cfg.sequence_parallel:
+                stack.enter_context(sequence_parallel_scope(self.mesh, min_seq=cfg.sp_min_seq))
+            if dict(self.mesh.shape).get("model", 1) > 1:
+                stack.enter_context(tensor_parallel_scope(self.mesh))
+        return stack
+
     def _shard_inputs(self, *arrays, replicate: bool = False):
         if self.mesh is None:
             return arrays
@@ -895,11 +911,12 @@ class InstantIRPipeline:
             # whole-call single program; the staged stages below stay the
             # reference implementation (and serve output_type="latent")
             uncond_tokens = self._ensure_uncond_tokens(params, (224, 224, 3), lq_images.dtype)
-            image, preview_row = self._fused_restore_fn(cfg)(
-                params, lq_images, prompt_embeds, pooled_embeds,
-                negative_prompt_embeds, negative_pooled_embeds,
-                uncond_tokens, key, reference_latents, prev_unet,
-            )
+            with self._trace_scopes(cfg):
+                image, preview_row = self._fused_restore_fn(cfg)(
+                    params, lq_images, prompt_embeds, pooled_embeds,
+                    negative_prompt_embeds, negative_pooled_embeds,
+                    uncond_tokens, key, reference_latents, prev_unet,
+                )
             decode_dtype = jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None
             previews = None
             if cfg.save_preview_row and preview_row is not None:
@@ -959,18 +976,11 @@ class InstantIRPipeline:
         cond_image_latent = jnp.concatenate([image_latent] * 2, axis=0) if cfg.do_cfg else image_latent
         if reference_latents is not None and cfg.do_cfg:
             reference_latents = jnp.concatenate([reference_latents] * 2, axis=0)
-        # the sequence-parallel scope matters at TRACE time: the ring
+        # parallelism scopes matter at TRACE time: the ring / shard_map
         # collectives bake into this cfg's cached jit (sample_fn caches
-        # per-RestoreConfig, and sequence_parallel is part of the config)
-        import contextlib as _ctx
-
-        from instantir_tpu.ops.attention import sequence_parallel_scope
-
-        scope = (
-            sequence_parallel_scope(self.mesh, min_seq=cfg.sp_min_seq)
-            if seq_par else _ctx.nullcontext()
-        )
-        with scope:
+        # per-RestoreConfig, and sequence_parallel is part of the config;
+        # the TP scope is tied to the attached mesh, fixed per pipeline)
+        with self._trace_scopes(cfg):
             latents, preview_row = self.sample_fn(cfg)(
                 params, latents, cond, cond_image_latent, ip_base, ip_lora, key,
                 reference_latents=reference_latents, prev_unet=prev_unet,

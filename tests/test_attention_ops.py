@@ -40,3 +40,33 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_tp_flash_shard_map_matches_xla(rng):
+    """Under the TP layout a pallas_call has no GSPMD rule, so the flash path
+    wraps in shard_map over local heads (+ local batch rows). The wrapped
+    kernel (interpret mode on the virtual mesh) must match dense attention
+    and stay differentiable."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from instantir_tpu.ops.attention import _tp_flash
+    from instantir_tpu.parallel import make_mesh
+
+    mesh = make_mesh(model_parallel=2)  # data=4, model=2
+    q = jnp.asarray(rng.normal(size=(4, 128, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(4, 128, 4, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(4, 128, 4, 16)), jnp.float32)
+    scale = q.shape[-1] ** -0.5
+    want = attention_xla(q, k, v)
+
+    sh = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    got = jax.jit(lambda a, b, c: _tp_flash(a, b, c, scale, mesh, "model", interpret=True))(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+    # the output must stay sharded (no silent all-gather/replication)
+    assert "model" in str(got.sharding.spec)
+
+    g = jax.grad(lambda a: _tp_flash(a, k, v, scale, mesh, "model", interpret=True).sum())(q)
+    g_ref = jax.grad(lambda a: attention_xla(a, k, v).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5, rtol=1e-3)
