@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--async_checkpointing", action="store_true",
         help="overlap orbax checkpoint writes with subsequent train steps",
     )
+    p.add_argument(
+        "--report_to", type=str, default="tensorboard",
+        choices=["tensorboard", "wandb", "all"],
+        help="tracker backend (reference --report_to; its wandb branch raises "
+        "NotImplementedError, here it works when wandb is importable)",
+    )
     return p
 
 
@@ -319,6 +325,7 @@ def main(argv=None):
         resume_from_checkpoint=args.resume_from_checkpoint,
         handle_preemption=args.handle_preemption,
         async_checkpointing=args.async_checkpointing,
+        report_to=args.report_to,
     )
 
     if args.stage == "stage1":

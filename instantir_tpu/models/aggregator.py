@@ -114,6 +114,7 @@ class Aggregator(nn.Module):
     use_flash: bool = True
     pad_concat: bool = False
     attn1_mode: str = "plain"  # "plain" | "split" | "sep_split"
+    global_pool_conditions: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -257,4 +258,11 @@ class Aggregator(nn.Module):
             )
         c, f = split_h(x)
         mid_residual = SFTHead(x.shape[-1], name="controlnet_mid_block", **common)(c, f) * conditioning_scale
+
+        if self.global_pool_conditions:
+            # spatial mean-pool of every residual, keepdims so injection
+            # broadcasts (reference ``module/aggregator.py:966-971``; dormant
+            # ControlNet-inherited config flag, ``:221, :267``)
+            down_residuals = [jnp.mean(r, axis=(1, 2), keepdims=True) for r in down_residuals]
+            mid_residual = jnp.mean(mid_residual, axis=(1, 2), keepdims=True)
         return tuple(down_residuals), mid_residual

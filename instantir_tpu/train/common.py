@@ -375,33 +375,59 @@ class CheckpointManager:
 
 
 class Tracker:
-    """TensorBoard scalar/image logging (tensorboardX), no-op without logdir.
+    """Scalar/image logging to TensorBoard (tensorboardX) and/or wandb;
+    no-op without logdir.
 
     Multi-host: only process 0 writes (the reference's ``is_main_process``
-    tracker gating, ``train_stage1_adapter.py:948-957``)."""
+    tracker gating, ``train_stage1_adapter.py:948-957``). ``backend`` mirrors
+    the reference's ``--report_to`` choices {tensorboard, wandb}; unlike the
+    reference, whose wandb branch is ``raise NotImplementedError``
+    (``train_stage1_adapter.py:137-138``), the wandb backend here works when
+    the package is importable and fails with a clear error otherwise."""
 
-    def __init__(self, logdir: Optional[str]):
+    def __init__(self, logdir: Optional[str], backend: str = "tensorboard",
+                 project: str = "instantir_tpu", run_name: Optional[str] = None):
         self.writer = None
-        if logdir and jax.process_index() == 0:
+        self.wandb = None
+        if not (logdir and jax.process_index() == 0):
+            return
+        if backend not in ("tensorboard", "wandb", "all"):
+            raise ValueError(f"unknown tracker backend {backend!r}")
+        if backend in ("tensorboard", "all"):
             from tensorboardX import SummaryWriter
 
             self.writer = SummaryWriter(logdir)
+        if backend in ("wandb", "all"):
+            try:
+                import wandb
+            except ImportError as e:
+                raise ImportError(
+                    "Tracker(backend='wandb') requires the wandb package; "
+                    "install it or use backend='tensorboard'") from e
+            self.wandb = wandb.init(project=project, name=run_name, dir=logdir)
 
     def scalars(self, step: int, values: Dict[str, float]):
-        if self.writer is None:
-            return
-        for k, v in values.items():
-            self.writer.add_scalar(k, float(v), step)
+        if self.writer is not None:
+            for k, v in values.items():
+                self.writer.add_scalar(k, float(v), step)
+        if self.wandb is not None:
+            self.wandb.log({k: float(v) for k, v in values.items()}, step=step)
 
     def images(self, step: int, tag: str, images: np.ndarray):
         """images: [N, H, W, 3] in [0, 1]."""
-        if self.writer is None:
-            return
-        self.writer.add_images(tag, np.clip(images, 0, 1), step, dataformats="NHWC")
+        clipped = np.clip(images, 0, 1)
+        if self.writer is not None:
+            self.writer.add_images(tag, clipped, step, dataformats="NHWC")
+        if self.wandb is not None:
+            import wandb
+
+            self.wandb.log({tag: [wandb.Image(im) for im in clipped]}, step=step)
 
     def close(self):
         if self.writer is not None:
             self.writer.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 # ---------------------------------------------------------------------------

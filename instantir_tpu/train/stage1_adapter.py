@@ -61,6 +61,7 @@ class Stage1Config:
     resume_from_checkpoint: Optional[str] = "latest"
     handle_preemption: bool = False  # SIGTERM -> checkpoint + clean exit (TPU spot/maintenance)
     async_checkpointing: bool = False  # overlap orbax writes with the next train steps
+    report_to: str = "tensorboard"  # tracker backend: tensorboard | wandb | all (reference --report_to)
 
 
 def stage1_trainable_pred(path: Tuple[str, ...]) -> bool:
@@ -199,7 +200,7 @@ class Stage1Trainer:
         self._step = jax.jit(_wrapped, donate_argnums=(0, 2))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
         self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit, async_save=cfg.async_checkpointing)
-        self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
+        self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None, backend=cfg.report_to)
         self.global_step = 0
         print(f"[stage1] trainable params: {n_train/1e6:.2f}M")
 

@@ -74,6 +74,7 @@ class Stage2Config:
     resume_from_checkpoint: Optional[str] = "latest"
     handle_preemption: bool = False  # SIGTERM -> checkpoint + clean exit (TPU spot/maintenance)
     async_checkpointing: bool = False  # overlap orbax writes with the next train steps
+    report_to: str = "tensorboard"  # tracker backend: tensorboard | wandb | all (reference --report_to)
 
 
 def stage2_trainable_pred(cfg: Stage2Config):
@@ -277,7 +278,7 @@ class Stage2Trainer:
         self._step = jax.jit(_wrapped, donate_argnums=(0, 3))
         self.degradation = RealESRGANDegradation(resolution=cfg.resolution)
         self.ckpt = common.CheckpointManager(cfg.output_dir, cfg.checkpoints_total_limit, async_save=cfg.async_checkpointing)
-        self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None)
+        self.tracker = common.Tracker(os.path.join(cfg.output_dir, "logs") if cfg.output_dir else None, backend=cfg.report_to)
         self.global_step = 0
         print(f"[stage2] trainable params: {common.count_params(self.trainable)/1e6:.2f}M")
 

@@ -150,6 +150,28 @@ def test_aggregator_feeds_unet(aggregator_setup):
     assert out.shape == (2, 16, 16, 4)
 
 
+def test_aggregator_global_pool_conditions(aggregator_setup):
+    """global_pool_conditions spatially mean-pools every residual, keepdims
+    (reference module/aggregator.py:966-971, dormant config flag :221,:267)."""
+    model, params, inputs = aggregator_setup
+    # zero-conv heads give all-zero residuals at init; perturb every param so
+    # the pooled branch is exercised on non-trivial values (flag adds no params,
+    # so the same perturbed tree drives both variants)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.default_rng(7)
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(rng.normal(size=l.shape) * 0.05, l.dtype) for l in leaves]
+    )
+    pooled_model = Aggregator(model.config, use_flash=False, global_pool_conditions=True)
+    down, mid = model.apply(params, **inputs)
+    pdown, pmid = pooled_model.apply(params, **inputs)
+    for base, pooled in list(zip(down, pdown)) + [(mid, pmid)]:
+        assert pooled.shape == (base.shape[0], 1, 1, base.shape[-1])
+        np.testing.assert_allclose(
+            np.asarray(pooled), np.asarray(base.mean(axis=(1, 2), keepdims=True)), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_bf16_vae_decode_close_to_fp32():
     """The bf16 decode fast path (RestoreConfig.decode_dtype) must stay within
     8-bit output rounding of the fp32 reference decode — bf16 keeps fp32's

@@ -96,3 +96,48 @@ def test_image_proj_models(rng):
     assert tokens.shape == (2, 5, 32)
     with pytest.raises(ValueError):
         multi([emb])
+
+
+def test_tracker_wandb_backend(tmp_path, monkeypatch):
+    """The wandb backend works when the package is importable (unlike the
+    reference, whose wandb branch is `raise NotImplementedError`,
+    train_stage1_adapter.py:137-138) and fails with a clear ImportError when
+    it is not. Exercised against a stub wandb module."""
+    import sys
+    import types
+
+    with pytest.raises(ValueError):
+        Tracker(str(tmp_path), backend="bogus")
+
+    assert "wandb" not in sys.modules  # not installed in this image
+    with pytest.raises(ImportError):
+        Tracker(str(tmp_path), backend="wandb")
+
+    logged = []
+    stub = types.SimpleNamespace()
+
+    class _Run:
+        def log(self, values, step=None):
+            logged.append((step, values))
+
+        def finish(self):
+            logged.append(("finish", None))
+
+    stub.init = lambda project=None, name=None, dir=None: _Run()
+    stub.Image = lambda im: ("img", np.asarray(im).shape)
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    t = Tracker(str(tmp_path), backend="wandb", run_name="t")
+    assert t.writer is None  # wandb-only: no tensorboard writer
+    t.scalars(3, {"loss": 1.5})
+    t.images(4, "val", np.zeros((2, 8, 8, 3), np.float32))
+    t.close()
+    assert logged[0] == (3, {"loss": 1.5})
+    assert logged[1][0] == 4 and logged[1][1]["val"] == [("img", (8, 8, 3))] * 2
+    assert logged[-1] == ("finish", None)
+
+    # backend="all" writes both
+    t2 = Tracker(str(tmp_path), backend="all")
+    assert t2.writer is not None and t2.wandb is not None
+    t2.scalars(1, {"a": 2.0})
+    t2.close()
