@@ -14,7 +14,9 @@ this is the production counterpart for TPU serving:
     before the server accepts traffic, so no request ever pays the
     multi-minute remote compile;
   * **stdlib HTTP** (ThreadingHTTPServer) — POST an image to ``/restore``,
-    GET ``/healthz`` for liveness/readiness probes. No extra dependencies.
+    GET ``/healthz`` for liveness/readiness probes, GET ``/metrics`` for
+    Prometheus-format counters and request-latency quantiles (the BASELINE
+    "p50 per-image latency" serving metric). No extra dependencies.
 
 The batching core (``RestoreServer``) is transport-independent and tested on
 the CPU mesh without HTTP; the HTTP layer is a thin adapter over it.
@@ -23,10 +25,12 @@ the CPU mesh without HTTP; the HTTP layer is a thin adapter over it.
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -59,6 +63,7 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
+    t_submit: float = 0.0        # monotonic enqueue time (latency metrics)
 
 
 class RestoreServer:
@@ -96,6 +101,11 @@ class RestoreServer:
         self._lock = threading.Lock()
         self.batches_run = 0
         self.requests_served = 0
+        # bounded latency windows (seconds): per-request end-to-end
+        # (enqueue → result ready, queue wait included) and per-batch device
+        # execute time — the p50-per-image-latency serving metric
+        self._request_latencies: collections.deque = collections.deque(maxlen=1024)
+        self._batch_seconds: collections.deque = collections.deque(maxlen=256)
         self._worker = threading.Thread(target=self._run, name="restore-worker", daemon=True)
 
     # -- lifecycle ---------------------------------------------------------
@@ -106,6 +116,8 @@ class RestoreServer:
             # warmup is not traffic: report clean production counters
             self.batches_run = 0
             self.requests_served = 0
+            self._request_latencies.clear()
+            self._batch_seconds.clear()
         self._worker.start()
         return self
 
@@ -164,6 +176,7 @@ class RestoreServer:
             prompt=prompt or DEFAULT_PROMPT,
             neg_prompt=neg_prompt or DEFAULT_NEG_PROMPT,
             out_size=out_size,
+            t_submit=time.monotonic(),
         )
         self._queue.put(req)
         if not req.done.wait(timeout):
@@ -238,21 +251,69 @@ class RestoreServer:
 
         with self._lock:
             self._key, sub = jax.random.split(self._key)
+        t0 = time.monotonic()
         out, _ = self.pipe.restore(
             jnp.asarray(images),
             jnp.asarray(pe), jnp.asarray(pooled),
             negative_prompt_embeds=jnp.asarray(npe), negative_pooled_embeds=jnp.asarray(npooled),
             cfg=self.restore_cfg, key=sub,
         )
-        out = np.asarray(out)
+        out = np.asarray(out)  # device→host fetch = completion
+        now = time.monotonic()
         self.batches_run += 1
         self.requests_served += n
+        self._batch_seconds.append(now - t0)
         for i, req in enumerate(batch):
             img = ((np.clip(out[i], -1, 1) + 1) * 127.5).astype(np.uint8)
             if (img.shape[1], img.shape[0]) != req.out_size:
                 img = np.asarray(Image.fromarray(img).resize(req.out_size, Image.LANCZOS))
             req.result = img
+            if req.t_submit:
+                self._request_latencies.append(now - req.t_submit)
             req.done.set()
+
+    # -- observability -------------------------------------------------------
+
+    @staticmethod
+    def _quantiles(window) -> Dict[str, float]:
+        xs = sorted(window)
+        if not xs:
+            return {}
+        return {q: xs[min(len(xs) - 1, int(float(q) * len(xs)))] for q in ("0.5", "0.9", "0.99")}
+
+    def stats(self) -> Dict:
+        """Serving counters + latency quantiles over the recent window.
+        Request latency is end-to-end (queue wait + batch wait + device);
+        batch seconds is the device execute+fetch time of one full batch."""
+        return {
+            "requests_served": self.requests_served,
+            "batches_run": self.batches_run,
+            "queue_depth": self._queue.qsize(),
+            "batch_size": self.cfg.batch_size,
+            "resolution": self.cfg.resolution,
+            "request_latency_seconds": self._quantiles(self._request_latencies),
+            "batch_seconds": self._quantiles(self._batch_seconds),
+        }
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of ``stats()`` (no client library —
+        the format is five lines of spec, stdlib-only like the rest)."""
+        s = self.stats()
+        lines = [
+            "# TYPE instantir_requests_served_total counter",
+            f"instantir_requests_served_total {s['requests_served']}",
+            "# TYPE instantir_batches_run_total counter",
+            f"instantir_batches_run_total {s['batches_run']}",
+            "# TYPE instantir_queue_depth gauge",
+            f"instantir_queue_depth {s['queue_depth']}",
+            "# TYPE instantir_request_latency_seconds summary",
+        ]
+        for q, v in s["request_latency_seconds"].items():
+            lines.append(f'instantir_request_latency_seconds{{quantile="{q}"}} {v:.4f}')
+        lines.append("# TYPE instantir_batch_seconds summary")
+        for q, v in s["batch_seconds"].items():
+            lines.append(f'instantir_batch_seconds{{quantile="{q}"}} {v:.4f}')
+        return "\n".join(lines) + "\n"
 
 
 # ---------------------------------------------------------------------------
@@ -269,21 +330,21 @@ def make_http_server(server: RestoreServer, host: str = "0.0.0.0", port: int = 8
             pass
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
-                body = json.dumps({
-                    "ok": True,
-                    "requests_served": server.requests_served,
-                    "batches_run": server.batches_run,
-                    "batch_size": server.cfg.batch_size,
-                    "resolution": server.cfg.resolution,
-                }).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                body = json.dumps({"ok": True, **server.stats()}).encode()
+                ctype = "application/json"
+            elif path == "/metrics":
+                body = server.metrics_text().encode()
+                ctype = "text/plain; version=0.0.4"
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             from PIL import Image

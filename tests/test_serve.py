@@ -159,3 +159,48 @@ def test_http_roundtrip(server):
         assert conn.getresponse().status == 404
     finally:
         httpd.shutdown()
+
+
+def test_metrics_latency_quantiles(server):
+    """stats()/metrics_text() report request-latency and batch-time quantiles
+    over the recent window, plus counters and queue depth — the serving
+    observability surface (BASELINE's "p50 per-image latency" metric)."""
+    img = np.zeros((RES, RES, 3), np.uint8)
+    for _ in range(3):
+        server.submit(img, prompt="metrics probe")
+
+    s = server.stats()
+    assert s["requests_served"] >= 3 and s["batches_run"] >= 1
+    assert s["queue_depth"] == 0
+    lat = s["request_latency_seconds"]
+    assert set(lat) == {"0.5", "0.9", "0.99"}
+    assert 0 < lat["0.5"] <= lat["0.99"]
+    bat = s["batch_seconds"]
+    assert 0 < bat["0.5"] <= lat["0.99"] + 1e-9  # batch time bounded by e2e latency window
+
+    text = server.metrics_text()
+    assert "# TYPE instantir_requests_served_total counter" in text
+    assert 'instantir_request_latency_seconds{quantile="0.5"}' in text
+    assert text.endswith("\n")
+
+    # HTTP exposition
+    import threading as _threading
+    from http.client import HTTPConnection
+
+    httpd = make_http_server(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    _threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type", "").startswith("text/plain")
+        assert b"instantir_batches_run_total" in resp.read()
+        # /healthz now carries the full stats dict
+        conn.request("GET", "/healthz")
+        health = conn.getresponse()
+        assert health.status == 200
+        assert b"request_latency_seconds" in health.read()
+    finally:
+        httpd.shutdown()
