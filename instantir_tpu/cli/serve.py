@@ -6,10 +6,12 @@ this is the production counterpart for TPU serving:
   * **request microbatching** — concurrent requests are gathered into one
     device batch (up to ``batch_size``, waiting at most ``batch_wait_ms`` for
     stragglers), so the chip always sees its most efficient batch;
-  * **static shapes** — inputs are resized to a fixed resolution bucket and
-    the batch is padded to exactly ``batch_size``: one XLA program, compiled
-    once at warmup, serves every request (no shape-driven recompiles — the
-    cardinal TPU serving rule);
+  * **static shapes** — inputs are resized into fixed resolution buckets
+    (``--resolutions 512,768,1024``; one bucket by default) and each batch is
+    padded to exactly ``batch_size``: a finite set of XLA programs, all
+    compiled at warmup, serves every request (no shape-driven recompiles —
+    the cardinal TPU serving rule). Requests route to the smallest bucket
+    that covers them, so small inputs don't pay the big bucket's step cost;
   * **warmup** — the full restore program (and the text encoders) compile
     before the server accepts traffic, so no request ever pays the
     multi-minute remote compile;
@@ -44,6 +46,11 @@ class ServeConfig:
     batch_size: int = 4          # device batch (pad-to-full; compile once)
     batch_wait_ms: float = 25.0  # max straggler wait once a request is queued
     resolution: int = 1024       # fixed resolution bucket (static shapes)
+    # optional extra buckets (e.g. (512, 768, 1024)): each input routes to the
+    # smallest bucket that covers it, so small images stop paying the largest
+    # bucket's step cost. One program per bucket, all compiled at warmup —
+    # still a fixed, finite program set (the static-shape serving rule).
+    resolutions: Tuple[int, ...] = ()
     num_inference_steps: int = 30
     guidance_scale: float = 7.0
     preview_start: float = 0.1
@@ -64,6 +71,7 @@ class _Request:
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
     t_submit: float = 0.0        # monotonic enqueue time (latency metrics)
+    bucket: int = 0              # resolution bucket this request routed to
 
 
 class RestoreServer:
@@ -93,7 +101,13 @@ class RestoreServer:
             deepcache_interval=cfg.deepcache_interval,
             deepcache_depth=cfg.deepcache_depth,
         )
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # resolution buckets: per-bucket request queues plus one notify queue
+        # of bucket ids (every submit adds exactly one token, every worker
+        # iteration removes exactly one — tokens ≥ pending requests, so an
+        # empty notify queue proves every bucket queue is drained)
+        self.buckets: Tuple[int, ...] = tuple(sorted(set(cfg.resolutions))) or (cfg.resolution,)
+        self._queues: Dict[int, "queue.Queue[_Request]"] = {r: queue.Queue() for r in self.buckets}
+        self._notify: "queue.Queue[int]" = queue.Queue()
         self._stop = threading.Event()
         self._closing = threading.Event()
         self._key = jax.random.PRNGKey(cfg.seed)
@@ -128,13 +142,14 @@ class RestoreServer:
         self._stop.set()
         if self._worker.is_alive():
             self._worker.join(timeout=600)
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            req.error = RuntimeError("server stopped")
-            req.done.set()
+        for q in self._queues.values():
+            while True:
+                try:
+                    req = q.get_nowait()
+                except queue.Empty:
+                    break
+                req.error = RuntimeError("server stopped")
+                req.done.set()
 
     def drain(self, timeout: Optional[float] = 600):
         """Graceful shutdown: refuse new submissions, finish every queued
@@ -147,20 +162,21 @@ class RestoreServer:
         self.stop()
 
     def warmup(self):
-        """Compile the full-batch restore program (and the encoders) before
-        accepting traffic. The persistent compilation cache makes restarts
-        skip the remote compile entirely."""
-        r = self.cfg.resolution
-        reqs = [
-            _Request(
-                image=np.zeros((r, r, 3), np.float32),
-                prompt=DEFAULT_PROMPT,
-                neg_prompt=DEFAULT_NEG_PROMPT,
-                out_size=(r, r),
-            )
-            for _ in range(self.cfg.batch_size)
-        ]
-        self._execute(reqs)
+        """Compile every bucket's full-batch restore program (and the
+        encoders) before accepting traffic. The persistent compilation cache
+        makes restarts skip the remote compile entirely."""
+        for r in self.buckets:
+            reqs = [
+                _Request(
+                    image=np.zeros((r, r, 3), np.float32),
+                    prompt=DEFAULT_PROMPT,
+                    neg_prompt=DEFAULT_NEG_PROMPT,
+                    out_size=(r, r),
+                    bucket=r,
+                )
+                for _ in range(self.cfg.batch_size)
+            ]
+            self._execute(reqs)
 
     # -- request path ------------------------------------------------------
 
@@ -170,24 +186,34 @@ class RestoreServer:
         Thread-safe; concurrent callers share a device batch."""
         if self._closing.is_set():
             raise RuntimeError("server is draining — not accepting new requests")
-        img, out_size = self._to_bucket(image)
+        img, out_size, bucket = self._to_bucket(image)
         req = _Request(
             image=img,
             prompt=prompt or DEFAULT_PROMPT,
             neg_prompt=neg_prompt or DEFAULT_NEG_PROMPT,
             out_size=out_size,
             t_submit=time.monotonic(),
+            bucket=bucket,
         )
-        self._queue.put(req)
+        self._enqueue(req)
         if not req.done.wait(timeout):
             raise TimeoutError("restore request timed out")
         if req.error is not None:
             raise req.error
         return req.result
 
-    def _to_bucket(self, image: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
-        """Resize any input to the server's fixed resolution bucket (static
-        shapes are what keep this a one-program server)."""
+    def _enqueue(self, req: _Request):
+        """Queue a prepared request on its bucket (requests built outside
+        ``submit`` — e.g. test fixtures — default to the largest bucket)."""
+        if req.bucket not in self._queues:
+            req.bucket = self.buckets[-1]
+        self._queues[req.bucket].put(req)
+        self._notify.put(req.bucket)
+
+    def _to_bucket(self, image: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int], int]:
+        """Resize any input into a fixed resolution bucket — the smallest
+        that covers it (largest otherwise). Static per-bucket shapes keep
+        this a finite-program server."""
         from PIL import Image
 
         if image.dtype == np.uint8:
@@ -195,26 +221,31 @@ class RestoreServer:
         else:
             pil = Image.fromarray(((np.clip(image, -1, 1) + 1) * 127.5).astype(np.uint8))
         out_size = pil.size
-        r = self.cfg.resolution
+        side = max(out_size)
+        r = next((b for b in self.buckets if b >= side), self.buckets[-1])
         if pil.size != (r, r):
             pil = pil.resize((r, r), Image.LANCZOS)
-        return np.asarray(pil, np.float32) / 127.5 - 1.0, out_size
+        return np.asarray(pil, np.float32) / 127.5 - 1.0, out_size, r
 
     # -- worker ------------------------------------------------------------
 
     def _run(self):
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.1)
+                bucket = self._notify.get(timeout=0.1)
             except queue.Empty:
                 if self._closing.is_set():
-                    return  # drained: queue empty and no new submissions
+                    return  # drained: no tokens ⇒ every bucket queue is empty
                 continue
+            try:
+                first = self._queues[bucket].get_nowait()
+            except queue.Empty:
+                continue  # stale token: its request left in an earlier batch
             batch = [first]
             deadline = self.cfg.batch_wait_ms / 1000.0
             while len(batch) < self.cfg.batch_size:
                 try:
-                    batch.append(self._queue.get(timeout=deadline))
+                    batch.append(self._queues[bucket].get(timeout=deadline))
                 except queue.Empty:
                     break
             try:
@@ -288,9 +319,10 @@ class RestoreServer:
         return {
             "requests_served": self.requests_served,
             "batches_run": self.batches_run,
-            "queue_depth": self._queue.qsize(),
+            "queue_depth": sum(q.qsize() for q in self._queues.values()),
             "batch_size": self.cfg.batch_size,
             "resolution": self.cfg.resolution,
+            "buckets": list(self.buckets),
             "request_latency_seconds": self._quantiles(self._request_latencies),
             "batch_seconds": self._quantiles(self._batch_seconds),
         }
@@ -401,6 +433,11 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--batch_wait_ms", type=float, default=25.0)
     p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--resolutions", type=str, default=None,
+                   help="comma-separated resolution buckets (e.g. 512,768,1024): "
+                   "each request routes to the smallest bucket covering it, so "
+                   "small inputs skip the big bucket's step cost; one program "
+                   "per bucket, all compiled at warmup")
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--cfg", type=float, default=7.0)
     p.add_argument("--preview_start", type=float, default=0.1)
@@ -442,7 +479,9 @@ def main(argv: Optional[List[str]] = None):
 
     cfg = ServeConfig(
         batch_size=args.batch_size, batch_wait_ms=args.batch_wait_ms,
-        resolution=args.resolution, num_inference_steps=args.num_inference_steps,
+        resolution=args.resolution,
+        resolutions=tuple(int(r) for r in args.resolutions.split(",")) if args.resolutions else (),
+        num_inference_steps=args.num_inference_steps,
         guidance_scale=args.cfg, preview_start=args.preview_start,
         creative_start=args.creative_start, shared_cfg=args.shared_cfg,
         deepcache_interval=args.deepcache_interval, deepcache_depth=args.deepcache_depth,
@@ -461,8 +500,9 @@ def main(argv: Optional[List[str]] = None):
     signal.signal(signal.SIGTERM, _graceful)
     signal.signal(signal.SIGINT, _graceful)
 
+    buckets = ", ".join(f"{r}²" for r in server.buckets)
     print(f"[serve] ready on {args.host}:{args.port} "
-          f"(batch {cfg.batch_size} @ {cfg.resolution}², {len(jax.devices())} device(s))")
+          f"(batch {cfg.batch_size} @ {buckets}, {len(jax.devices())} device(s))")
     try:
         httpd.serve_forever()
     finally:

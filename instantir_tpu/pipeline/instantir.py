@@ -298,8 +298,9 @@ class InstantIRPipeline:
         weight set ONCE (``W + α_run·(α_mod/r)·AB``) and drop the LoRA A/B
         pairs from memory. Mode-B preview steps then apply the merged weights
         with the adapter branch statically skipped — saving the rank-r matmul
-        pair at every linear/conv of every preview step (~20 ms/step at SDXL
-        scale) — and base+merged fits one v5e chip only because the ~0.4 GiB
+        pair at every linear/conv of every preview step (6.9 ms/step at SDXL
+        scale post flash-rework, ≈4% of the preview UNet — see docs/perf.md)
+        — and base+merged fits one v5e chip only because the ~0.4 GiB
         of A/B pairs is freed. After freezing, ``restore`` requires
         ``cfg.lora_alpha == alpha`` (or 0), and dynamic adapter switching
         (the demo's set_adapter) is unavailable."""

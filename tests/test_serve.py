@@ -108,7 +108,7 @@ def test_graceful_drain_finishes_queued_requests(server):
     srv2 = RestoreServer(server.pipe, server.encode_fn, server.cfg)
     reqs = [_queued_request(i) for i in range(3)]  # > batch_size=2: two batches
     for r in reqs:
-        srv2._queue.put(r)
+        srv2._enqueue(r)
     srv2._worker.start()
     srv2.drain(timeout=600)
     for r in reqs:
@@ -123,7 +123,7 @@ def test_stop_unblocks_queued_waiters(server):
     unblock instead of hanging until timeout."""
     srv2 = RestoreServer(server.pipe, server.encode_fn, server.cfg)
     req = _queued_request()
-    srv2._queue.put(req)
+    srv2._enqueue(req)
     srv2.stop()  # worker never started — the request can only be flushed
     assert req.done.is_set()
     assert isinstance(req.error, RuntimeError)
@@ -204,3 +204,32 @@ def test_metrics_latency_quantiles(server):
         assert b"request_latency_seconds" in health.read()
     finally:
         httpd.shutdown()
+
+
+def test_resolution_buckets(server):
+    """Multi-bucket serving: each request routes to the smallest resolution
+    bucket that covers it (one static-shape program per bucket, all warmed),
+    and drain still finishes every queued request across buckets."""
+    srv = RestoreServer(
+        server.pipe, server.encode_fn,
+        ServeConfig(batch_size=2, batch_wait_ms=50.0, resolution=RES,
+                    resolutions=(16, RES), num_inference_steps=2,
+                    preview_start=0.0, creative_start=1.0),
+    ).start(warmup=True)
+    try:
+        assert srv.buckets == (16, RES)
+        # routing: 12×10 fits the 16-bucket; 28×28 needs the 32-bucket
+        img_small, _, b_small = srv._to_bucket(np.zeros((10, 12, 3), np.uint8))
+        img_big, _, b_big = srv._to_bucket(np.zeros((28, 28, 3), np.uint8))
+        assert b_small == 16 and img_small.shape == (16, 16, 3)
+        assert b_big == RES and img_big.shape == (RES, RES, 3)
+        # oversized inputs fall back to the largest bucket
+        assert srv._to_bucket(np.zeros((64, 64, 3), np.uint8))[2] == RES
+
+        out_small = srv.submit(np.zeros((10, 12, 3), np.uint8), prompt="small")
+        out_big = srv.submit(np.zeros((28, 28, 3), np.uint8), prompt="big")
+        assert out_small.shape == (10, 12, 3) and out_big.shape == (28, 28, 3)
+        assert srv.stats()["buckets"] == [16, RES]
+        assert srv.requests_served == 2 and srv.batches_run == 2  # distinct buckets
+    finally:
+        srv.drain()

@@ -1,0 +1,163 @@
+"""Training-step throughput at SDXL scale on one TPU chip.
+
+Times the jitted train step of each stage at the reference's training
+operating point (512² resolution, ``train_stage2_aggregator.py:346-349``;
+gradient checkpointing on, as the reference launchers set it,
+``train_stage1_adapter.sh:11-15``) with synthetic SDXL-scale weights and
+procedural data. The measured path is the REAL trainer path —
+``Trainer.prepare_batch`` (degradation chain) + ``Trainer.train_step``
+(jitted fwd+bwd+Adam with donated buffers) — not a stripped-down proxy.
+
+Single-chip notes (16 GB v5e):
+  * stage1 trains the ip params (resampler + UNet ip to_kv) under the frozen
+    2.6B-param UNet — fits with room.
+  * previewer trains the r=64 LoRA with the CFG teacher (3 UNet forwards +
+    student backward).
+  * stage2 trains the FULL aggregator; fp32 Adam moments alone (~8 GB) do
+    not fit next to the weights, so this bench runs the 8-bit Adam variant
+    (``--use_8bit_adam``) with the EMA adapter off. Multi-chip pods use
+    ZeRO-1 sharding instead (the trainers' default on a mesh).
+
+Usage:  BENCH_TRAIN_STAGE=stage1|previewer|stage2  python tools/bench_train_step.py
+        (env: BENCH_TRAIN_BATCH, BENCH_TRAIN_RES, BENCH_TRAIN_STEPS)
+Prints one JSON line per run, flushed immediately.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from bench import synth_params
+
+STAGE = os.environ.get("BENCH_TRAIN_STAGE", "stage1")
+RES = int(os.environ.get("BENCH_TRAIN_RES", "512"))
+BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "4" if STAGE != "stage2" else "1"))
+TIMED_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", "3"))
+
+
+def build_train_models(dtype=jnp.bfloat16):
+    """SDXL-scale models with per-block gradient checkpointing (nn.remat) —
+    the training-side twin of bench.build_models."""
+    from instantir_tpu.models.aggregator import Aggregator
+    from instantir_tpu.models.dinov2 import DINOv2Model, dinov2_large_config
+    from instantir_tpu.models.resampler import Resampler, instantir_resampler_config
+    from instantir_tpu.models.unet import UNet2DConditionModel, sdxl_base_config
+    from instantir_tpu.models.vae import AutoencoderKL, sdxl_vae_config
+
+    ucfg = dataclasses.replace(
+        sdxl_base_config(with_ip=True, lora_rank=64), gradient_checkpointing=True
+    )
+    unet = UNet2DConditionModel(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
+    aggregator = Aggregator(ucfg, use_flash=True, dtype=dtype, param_dtype=dtype)
+    vae = AutoencoderKL(sdxl_vae_config(), dtype=jnp.float32, param_dtype=dtype)
+    resampler = Resampler(instantir_resampler_config(lora_rank=64), dtype=dtype, param_dtype=dtype)
+    dino = DINOv2Model(dinov2_large_config(), dtype=dtype, param_dtype=dtype)
+    return unet, aggregator, vae, resampler, dino
+
+
+def synth_all(unet, aggregator, vae, resampler, dino, with_aggregator: bool):
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": synth_params(unet, lambda: unet.init(
+            key, jnp.zeros((1, 64, 64, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 1280), jnp.bfloat16),
+            jnp.zeros((1, 6), jnp.bfloat16), ip_hidden_states=jnp.zeros((1, 64, 2048), jnp.bfloat16))),
+        "vae": synth_params(vae, lambda: vae.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))),
+        "resampler": synth_params(resampler, lambda: resampler.init(key, jnp.zeros((1, 257, 1024), jnp.bfloat16))),
+        "image_encoder": synth_params(dino, lambda: dino.init(key, jnp.zeros((1, 224, 224, 3), jnp.bfloat16))),
+    }
+    if with_aggregator:
+        params["aggregator"] = synth_params(aggregator, lambda: aggregator.init(
+            key, jnp.zeros((1, 64, 64, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 64, 64, 4), jnp.bfloat16),
+            added_text_embeds=jnp.zeros((1, 1280), jnp.bfloat16),
+            added_time_ids=jnp.zeros((1, 6), jnp.bfloat16)))
+    jax.block_until_ready(params)
+    return params
+
+
+def zero_cond(batch_size: int):
+    return {
+        "prompt_embeds": jnp.zeros((batch_size, 77, 2048), jnp.float32),
+        "uncond_prompt_embeds": jnp.zeros((batch_size, 77, 2048), jnp.float32),
+        "pooled_embeds": jnp.zeros((batch_size, 1280), jnp.float32),
+        "uncond_pooled_embeds": jnp.zeros((batch_size, 1280), jnp.float32),
+        "time_ids": jnp.tile(jnp.asarray([[RES, RES, 0, 0, RES, RES]], jnp.float32), (batch_size, 1)),
+    }
+
+
+def main():
+    from instantir_tpu.data.dataset import SyntheticImageDataset
+
+    unet, aggregator, vae, resampler, dino = build_train_models()
+    params = synth_all(unet, aggregator, vae, resampler, dino, with_aggregator=STAGE == "stage2")
+
+    if STAGE == "stage1":
+        from instantir_tpu.train.stage1_adapter import Stage1Config, Stage1Trainer
+
+        cfg = Stage1Config(output_dir=None, max_train_steps=100, train_batch_size=BATCH,
+                           resolution=RES, lr_warmup_steps=0, importance_sampling=True)
+        trainer = Stage1Trainer(unet, resampler, vae, dino, params, cfg)
+    elif STAGE == "previewer":
+        from instantir_tpu.train.previewer_lora import PreviewerConfig, PreviewerTrainer
+
+        cfg = PreviewerConfig(output_dir=None, max_train_steps=100, train_batch_size=BATCH,
+                              resolution=RES, lr_warmup_steps=0)
+        trainer = PreviewerTrainer(unet, resampler, vae, dino, params, cfg)
+    elif STAGE == "stage2":
+        from instantir_tpu.train.stage2_aggregator import Stage2Config, Stage2Trainer
+
+        cfg = Stage2Config(output_dir=None, max_train_steps=100, train_batch_size=BATCH,
+                           resolution=RES, lr_warmup_steps=0,
+                           use_ema_adapter=False, use_8bit_adam=True)
+        trainer = Stage2Trainer(unet, aggregator, resampler, vae, dino, params, cfg)
+    else:
+        raise SystemExit(f"unknown BENCH_TRAIN_STAGE={STAGE!r}")
+
+    data = SyntheticImageDataset(seed=0).batches(batch_size=BATCH, gt_size=RES * 4)
+    cond = zero_cond(BATCH)
+
+    def one_step(seed):
+        batch = trainer.prepare_batch(next(data), cond, jax.random.PRNGKey(seed))
+        metrics = trainer.train_step(batch, jax.random.PRNGKey(seed + 1))
+        return float(metrics["loss"])  # forced device→host fetch
+
+    t0 = time.time()
+    loss0 = one_step(0)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(TIMED_STEPS):
+        t0 = time.time()
+        one_step(i + 1)
+        times.append(time.time() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "metric": f"{STAGE} train step, {RES}², batch {BATCH} (SDXL scale, grad-ckpt, 1 chip)",
+        "value": round(BATCH / dt, 3),
+        "unit": "images/sec",
+        "sec_per_step": round(dt, 3),
+        "first_step_s": round(compile_s, 1),
+        "first_loss": round(loss0, 4),
+        "times": [round(t, 3) for t in times],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
