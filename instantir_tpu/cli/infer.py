@@ -129,6 +129,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --sequence_parallel: minimum self-attention sequence "
         "length that takes the ring path",
     )
+    p.add_argument(
+        "--vae_tiling", action="store_true",
+        help="constant-memory tiled VAE encode/decode with blended overlaps "
+        "(the reference's diffusers-VAE enable_tiling); recommended with "
+        "--sequence_parallel at ≥2K² where a monolithic fp32 decode would "
+        "dominate the memory peak. No-op when the image fits one tile.",
+    )
+    p.add_argument(
+        "--vae_tile_latent", type=int, default=96,
+        help="with --vae_tiling: latent-space tile edge (×8 pixels)",
+    )
+    p.add_argument(
+        "--vae_slicing", action="store_true",
+        help="VAE encode/decode one sample at a time (exact; batch-"
+        "independent activation memory — the reference's enable_slicing)",
+    )
     return p
 
 
@@ -188,6 +204,9 @@ def main(argv: Optional[List[str]] = None):
         deepcache_depth=args.deepcache_depth,
         sequence_parallel=args.sequence_parallel,
         sp_min_seq=args.sp_min_seq,
+        vae_tiling=args.vae_tiling,
+        vae_tile_latent=args.vae_tile_latent,
+        vae_slicing=args.vae_slicing,
     )
     if args.sequence_parallel:
         from instantir_tpu.parallel.mesh import make_mesh

@@ -196,6 +196,155 @@ class AutoencoderKL(nn.Module):
         return self.decode(self.encode(x, rng=rng, sample=sample))
 
 
+# ---------------------------------------------------------------------------
+# Tiled encode/decode — constant-memory VAE at large resolutions.
+#
+# Capability parity with the reference's vendored diffusers VAE
+# (``module/diffusers_vae/autoencoder_kl.py:323-402`` tiled_encode/
+# tiled_decode); needed here for the ≥2K² sequence-parallel restore mode,
+# where a monolithic fp32 decode (2048² × 128ch activations) would dominate
+# the memory peak the ring attention just removed.
+#
+# TPU-first design, not a translation:
+#   * every tile has the SAME static shape — the trailing row/column tile is
+#     shifted inward instead of shrunk — so XLA compiles ONE decoder program
+#     for the tile shape and a ``lax.scan`` reuses it (the reference's ragged
+#     edge tiles would each be a fresh compile here);
+#   * blending is a separable tent-weight accumulation normalized by the
+#     summed weights. In interior overlaps covered by exactly two tiles this
+#     reduces to the reference's linear cross-fade (``blend_v``/``blend_h``
+#     raster loops, ``:311-321``); at canvas borders and the shifted last
+#     tile the normalization makes it artifact-free for any overlap pattern;
+#   * the whole thing is a single jittable function of the input — tiles are
+#     never all resident (sequential scan, one canvas read-modify-write per
+#     tile).
+# ---------------------------------------------------------------------------
+
+
+def _tile_starts(size: int, tile: int, stride: int) -> Tuple[int, ...]:
+    """Static tile origins covering [0, size) with a final inward-shifted tile."""
+    if size <= tile:
+        return (0,)
+    starts = []
+    pos = 0
+    while pos + tile < size:
+        starts.append(pos)
+        pos += stride
+    starts.append(size - tile)
+    return tuple(starts)
+
+
+def _tent_weights(length: int, blend: int) -> jnp.ndarray:
+    """1D weight profile: linear ramp over ``blend`` samples at both ends."""
+    i = jnp.arange(length, dtype=jnp.float32)
+    up = (i + 1.0) / (blend + 1.0)
+    down = (length - i) / (blend + 1.0)
+    return jnp.minimum(jnp.minimum(up, down), 1.0)
+
+
+def vae_scale_factor(cfg: VAEConfig) -> int:
+    return 2 ** (len(cfg.block_out_channels) - 1)
+
+
+def _tiled_accumulate(tile_fn, x: jnp.ndarray, tile_in: int, stride_in: int,
+                      out_scale_num: int, out_scale_den: int, out_channels: int,
+                      overlap: float) -> jnp.ndarray:
+    """Shared scan driver: run ``tile_fn`` on uniform tiles of ``x`` and
+    blend the outputs on a weight-normalized canvas.
+
+    ``out_scale_num/out_scale_den`` maps input coordinates to output
+    coordinates (8/1 for decode, 1/8 for encode at SDXL scale)."""
+    b, h, w, _ = x.shape
+    ys = _tile_starts(h, tile_in, stride_in)
+    xs = _tile_starts(w, tile_in, stride_in)
+    starts = jnp.asarray([(y, x0) for y in ys for x0 in xs], jnp.int32)
+
+    def to_out(v: int) -> int:
+        return v * out_scale_num // out_scale_den
+
+    t_out = to_out(tile_in)
+    blend = max(1, to_out(max(out_scale_den, int(round(tile_in * overlap)))))
+    w1d = _tent_weights(t_out, blend)
+    mask = (w1d[:, None] * w1d[None, :])[None, :, :, None]
+
+    canvas = jnp.zeros((b, to_out(h), to_out(w), out_channels), jnp.float32)
+    wsum = jnp.zeros((1, to_out(h), to_out(w), 1), jnp.float32)
+
+    def body(carry, yx):
+        canvas, wsum = carry
+        xt = jax.lax.dynamic_slice(x, (0, yx[0], yx[1], 0), (b, tile_in, tile_in, x.shape[-1]))
+        out = tile_fn(xt).astype(jnp.float32)
+        oy = yx[0] * out_scale_num // out_scale_den
+        ox = yx[1] * out_scale_num // out_scale_den
+        cur = jax.lax.dynamic_slice(canvas, (0, oy, ox, 0), (b, t_out, t_out, out_channels))
+        canvas = jax.lax.dynamic_update_slice(canvas, cur + out * mask, (0, oy, ox, 0))
+        curw = jax.lax.dynamic_slice(wsum, (0, oy, ox, 0), (1, t_out, t_out, 1))
+        wsum = jax.lax.dynamic_update_slice(wsum, curw + mask, (0, oy, ox, 0))
+        return (canvas, wsum), None
+
+    (canvas, wsum), _ = jax.lax.scan(body, (canvas, wsum), starts)
+    return canvas / wsum
+
+
+def tiled_decode(vae: AutoencoderKL, variables, z: jnp.ndarray, *,
+                 tile_latent: int = 96, overlap: float = 0.25) -> jnp.ndarray:
+    """Decode latents tile-by-tile with blended overlaps (constant memory).
+
+    Falls back to the monolithic decode when the latent fits one tile — the
+    check is on static shapes, so inside jit it is a trace-time decision."""
+    b, h, w, _ = z.shape
+    if h <= tile_latent and w <= tile_latent:
+        return vae.apply(variables, z, method=vae.decode)
+    tile = min(tile_latent, h, w)
+    stride = max(1, int(tile * (1.0 - overlap)))
+    scale = vae_scale_factor(vae.config)
+    out = _tiled_accumulate(
+        lambda zt: vae.apply(variables, zt, method=vae.decode),
+        z, tile, stride, scale, 1, vae.config.out_channels, overlap,
+    )
+    return out.astype(vae.dtype)
+
+
+def tiled_encode_moments(vae: AutoencoderKL, variables, x: jnp.ndarray, *,
+                         tile_sample: int = 768, overlap: float = 0.25) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tiled posterior moments: per-tile ``encode_moments`` blended in latent
+    space (the reference blends the encoder+quant_conv output the same way,
+    ``autoencoder_kl.py:323-355``). Tile origins/strides stay multiples of
+    the downsample factor so latent offsets are integral."""
+    scale = vae_scale_factor(vae.config)
+    b, h, w, _ = x.shape
+    if h <= tile_sample and w <= tile_sample:
+        return vae.apply(variables, x, method=vae.encode_moments)
+    tile = min(tile_sample, h, w)
+    tile -= tile % scale
+    stride = max(scale, int(tile * (1.0 - overlap)))
+    stride -= stride % scale
+    if h % scale or w % scale:
+        raise ValueError(f"tiled encode needs /{scale}-aligned input, got {h}x{w}")
+
+    def tile_fn(xt):
+        mean, logvar = vae.apply(variables, xt, method=vae.encode_moments)
+        return jnp.concatenate([mean, logvar], axis=-1)
+
+    moments = _tiled_accumulate(tile_fn, x, tile, stride, 1, scale,
+                                2 * vae.config.latent_channels, overlap)
+    mean, logvar = jnp.split(moments.astype(vae.dtype), 2, axis=-1)
+    return mean, jnp.clip(logvar, -30.0, 20.0)
+
+
+def tiled_encode(vae: AutoencoderKL, variables, x: jnp.ndarray,
+                 rng: Optional[jax.Array] = None, sample: bool = True, *,
+                 tile_sample: int = 768, overlap: float = 0.25) -> jnp.ndarray:
+    """Tiled counterpart of ``AutoencoderKL.encode`` (posterior sample/mode)."""
+    mean, logvar = tiled_encode_moments(vae, variables, x, tile_sample=tile_sample, overlap=overlap)
+    if sample:
+        if rng is None:
+            raise ValueError("tiled_encode(sample=True) requires an rng key")
+        std = jnp.exp(0.5 * logvar)
+        return mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+    return mean
+
+
 def scale_latents(cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
     """Raw posterior latents → model space (× scaling_factor, mean/std norm)."""
     if cfg.latents_mean is not None and cfg.latents_std is not None:

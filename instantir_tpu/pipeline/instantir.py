@@ -42,7 +42,14 @@ from instantir_tpu.models.aggregator import Aggregator
 from instantir_tpu.models.dinov2 import DINOv2Model, preprocess_dinov2
 from instantir_tpu.models.resampler import Resampler
 from instantir_tpu.models.unet import UNet2DConditionModel
-from instantir_tpu.models.vae import AutoencoderKL, scale_latents, unscale_latents
+from instantir_tpu.models.vae import (
+    AutoencoderKL,
+    scale_latents,
+    tiled_decode,
+    tiled_encode,
+    unscale_latents,
+    vae_scale_factor,
+)
 from instantir_tpu.schedulers.diffusion import (
     DiffusionSchedule,
     add_noise,
@@ -147,6 +154,24 @@ class RestoreConfig:
     sequence_parallel: bool = False
     sp_min_seq: int = 8192
     save_preview_row: bool = False
+    # Tiled VAE (constant-memory encode/decode at large resolutions; the
+    # reference's vendored diffusers VAE carries the same capability,
+    # ``module/diffusers_vae/autoencoder_kl.py:323-402``). The natural
+    # companion of sequence_parallel: at 2048² a monolithic fp32 decode
+    # (2048² × 128ch activations) would re-create the memory peak the ring
+    # attention removed. Uniform static tile shapes → one compiled decoder
+    # program reused across tiles; weight-normalized tent blending
+    # (models/vae.py::tiled_decode). No-op when the image fits one tile.
+    vae_tiling: bool = False
+    vae_tile_latent: int = 96  # latent-space tile edge (×8 = 768² pixels)
+    vae_tile_overlap: float = 0.25
+    # Sliced VAE (the reference's diffusers-VAE enable_slicing,
+    # ``autoencoder_kl.py:145-157``): encode/decode one sample at a time via
+    # ``lax.scan`` so the VAE activation peak is independent of batch size —
+    # exact (unlike tiling), just serialized. Useful for batched restores at
+    # 1024² where a batch-N fp32 decode would multiply the ~0.5 GB/layer
+    # decoder activations by N. No-op at batch 1.
+    vae_slicing: bool = False
     # VAE decode dtype: "float32" (reference force_upcast — its fp16 VAE
     # overflows) or "bfloat16" (range-safe on TPU: bf16 carries fp32's
     # exponent; only mantissa precision drops, below 8-bit output rounding)
@@ -255,6 +280,7 @@ class InstantIRPipeline:
             static_argnums=2,
         )
         self._jit_decode_cache: Dict[Any, Any] = {}
+        self._jit_vae_encode_tiled: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # Multi-chip inference (BASELINE config #5): parameters replicated over
@@ -414,29 +440,71 @@ class InstantIRPipeline:
         resampler, so previewer and main UNet see different ip tokens."""
         return self._jit_resampler(params, dino_tokens, float(lora_scale))
 
-    def encode_vae_image(self, params, images: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """[-1,1] images → scaled latents (sampled posterior)."""
-        return self._jit_vae_encode(params, images, rng)
+    def encode_vae_image(self, params, images: jnp.ndarray, rng: jax.Array,
+                         tiling: Optional[Tuple[int, float]] = None,
+                         slicing: bool = False) -> jnp.ndarray:
+        """[-1,1] images → scaled latents (sampled posterior).
 
-    def decode_latents(self, params, latents: jnp.ndarray, dtype=None) -> jnp.ndarray:
+        ``tiling=(tile_latent, overlap)`` switches to the constant-memory
+        tiled encoder (no-op when the image fits one tile); ``slicing``
+        encodes one sample at a time (exact, batch-independent memory)."""
+        slicing = slicing and images.shape[0] > 1
+        if tiling is None and not slicing:
+            return self._jit_vae_encode(params, images, rng)
+        key = (tiling, slicing)
+        if key not in self._jit_vae_encode_tiled:
+            vae = self.vae
+
+            def _enc_one(p, img, rng):
+                if tiling is not None:
+                    z = tiled_encode(vae, p["vae"], img, rng=rng, sample=True,
+                                     tile_sample=tiling[0] * vae_scale_factor(vae.config),
+                                     overlap=tiling[1])
+                else:
+                    z = vae.apply(p["vae"], img, rng=rng, sample=True, method=vae.encode)
+                return scale_latents(vae.config, z)
+
+            if slicing:
+                def _enc(p, img, rng):
+                    keys = jax.random.split(rng, img.shape[0])
+                    return jax.lax.map(lambda ik: _enc_one(p, ik[0][None], ik[1])[0], (img, keys))
+            else:
+                _enc = _enc_one
+            self._jit_vae_encode_tiled[key] = jax.jit(_enc)
+        return self._jit_vae_encode_tiled[key](params, images, rng)
+
+    def decode_latents(self, params, latents: jnp.ndarray, dtype=None,
+                       tiling: Optional[Tuple[int, float]] = None,
+                       slicing: bool = False) -> jnp.ndarray:
         """Model-space latents → images in [-1,1].
 
         Default fp32 decode (the reference's force_upcast — its fp16 VAE
         overflows). ``dtype=jnp.bfloat16`` is a fast path that is range-safe
-        (bf16 has fp32's exponent) at somewhat lower mantissa precision."""
-        key = str(dtype)
+        (bf16 has fp32's exponent) at somewhat lower mantissa precision.
+        ``tiling=(tile_latent, overlap)`` uses the constant-memory tiled
+        decoder (models/vae.py::tiled_decode); ``slicing`` decodes one sample
+        at a time (exact, batch-independent activation memory)."""
+        key = (str(dtype), tiling, slicing)
         if key not in self._jit_decode_cache:
-            self._jit_decode_cache[key] = jax.jit(self._build_decode(dtype))
+            self._jit_decode_cache[key] = jax.jit(self._build_decode(dtype, tiling, slicing))
         return self._jit_decode_cache[key](params, latents)
 
-    def _build_decode(self, dtype=None):
+    def _build_decode(self, dtype=None, tiling: Optional[Tuple[int, float]] = None,
+                      slicing: bool = False):
         vae = self.vae
         if dtype is not None and dtype != vae.dtype:
             vae = AutoencoderKL(self.vae.config, dtype=dtype)
 
-        def _decode(p, z):
+        def _decode_one(p, z):
             z = unscale_latents(vae.config, z.astype(dtype or jnp.float32))
+            if tiling is not None:
+                return tiled_decode(vae, p["vae"], z, tile_latent=tiling[0], overlap=tiling[1])
             return vae.apply(p["vae"], z, method=vae.decode)
+
+        def _decode(p, z):
+            if slicing and z.shape[0] > 1:
+                return jax.lax.map(lambda zb: _decode_one(p, zb[None])[0], z)
+            return _decode_one(p, z)
 
         return _decode
 
@@ -806,7 +874,8 @@ class InstantIRPipeline:
             return cache[cfg]
 
         sample = self._build_sample(cfg)
-        decode = self._build_decode(jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None)
+        tiling = (cfg.vae_tile_latent, cfg.vae_tile_overlap) if cfg.vae_tiling else None
+        decode = self._build_decode(jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None, tiling, cfg.vae_slicing)
         vae, dino, resampler = self.vae, self.image_encoder, self.resampler
         schedule = self.schedule
         if cfg.timesteps is not None:
@@ -822,10 +891,16 @@ class InstantIRPipeline:
             b, h, w, _ = lq_images.shape
             key, k_vae, k_init = jax.random.split(key, 3)
 
-            image_latent = scale_latents(
-                vae.config,
-                vae.apply(params["vae"], lq_images.astype(jnp.float32), rng=k_vae, sample=True, method=vae.encode),
-            ).astype(prompt_embeds.dtype)
+            if tiling is not None:
+                raw_latent = tiled_encode(
+                    vae, params["vae"], lq_images.astype(jnp.float32), rng=k_vae, sample=True,
+                    tile_sample=tiling[0] * vae_scale_factor(vae.config), overlap=tiling[1],
+                )
+            else:
+                raw_latent = vae.apply(
+                    params["vae"], lq_images.astype(jnp.float32), rng=k_vae, sample=True, method=vae.encode
+                )
+            image_latent = scale_latents(vae.config, raw_latent).astype(prompt_embeds.dtype)
 
             pixels = preprocess_dinov2((lq_images + 1.0) / 2.0)
             dino_cond = dino.apply(params["image_encoder"], pixels)
@@ -884,6 +959,7 @@ class InstantIRPipeline:
         if key is None:
             key = jax.random.PRNGKey(0)
         b, h, w, _ = lq_images.shape
+        tiling = (cfg.vae_tile_latent, cfg.vae_tile_overlap) if cfg.vae_tiling else None
         seq_par = cfg.sequence_parallel and self.mesh is not None
         if self.mesh is not None and not seq_par and b % self.mesh.shape["data"]:
             raise ValueError(f"batch {b} not divisible by mesh data axis {self.mesh.shape['data']}")
@@ -921,7 +997,7 @@ class InstantIRPipeline:
             decode_dtype = jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None
             previews = None
             if cfg.save_preview_row and preview_row is not None:
-                previews = [self.decode_latents(params, p, dtype=decode_dtype) for p in preview_row]
+                previews = [self.decode_latents(params, p, dtype=decode_dtype, tiling=tiling, slicing=cfg.vae_slicing) for p in preview_row]
             if output_type == "np":
                 image = np.asarray(image.astype(jnp.float32))
                 if previews is not None:
@@ -931,7 +1007,7 @@ class InstantIRPipeline:
         key, k_vae, k_init = jax.random.split(key, 3)
 
         # 1. LQ → latent (fp32 VAE encode), used as both init and condition
-        image_latent = self.encode_vae_image(params, lq_images.astype(jnp.float32), k_vae)
+        image_latent = self.encode_vae_image(params, lq_images.astype(jnp.float32), k_vae, tiling=tiling, slicing=cfg.vae_slicing)
         image_latent = image_latent.astype(prompt_embeds.dtype)
 
         # 2. image-prompt tokens (cond + uncond), both LoRA modes
@@ -991,10 +1067,10 @@ class InstantIRPipeline:
             return latents, preview_row
 
         decode_dtype = jnp.bfloat16 if cfg.decode_dtype == "bfloat16" else None
-        image = self.decode_latents(params, latents, dtype=decode_dtype)
+        image = self.decode_latents(params, latents, dtype=decode_dtype, tiling=tiling, slicing=cfg.vae_slicing)
         previews = None
         if cfg.save_preview_row and preview_row is not None:
-            previews = [self.decode_latents(params, p, dtype=decode_dtype) for p in preview_row]
+            previews = [self.decode_latents(params, p, dtype=decode_dtype, tiling=tiling, slicing=cfg.vae_slicing) for p in preview_row]
         if output_type == "np":
             image = np.asarray(image.astype(jnp.float32))
             if previews is not None:

@@ -112,3 +112,44 @@ def test_sequence_parallel_restore_matches_dense():
     assert calls, "no attention took the ring path"
     assert max(calls) >= 256, f"the long sequences did not ring: {sorted(set(calls))}"
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_sequence_parallel_composes_with_vae_tiling():
+    """The intended 2K² deployment combines sequence_parallel (ring the long
+    attention sequences) with vae_tiling/vae_slicing (constant-memory VAE at
+    the decode end) — prove the composition traces and executes under the
+    mesh and the tiled decode tracks the monolithic one."""
+    from instantir_tpu.models.dinov2 import tiny_dinov2_config
+    from instantir_tpu.models.resampler import tiny_resampler_config
+    from instantir_tpu.models.unet import tiny_unet_config
+    from instantir_tpu.models.vae import tiny_vae_config
+    from instantir_tpu.pipeline.factory import build_pipeline
+    from instantir_tpu.pipeline.instantir import RestoreConfig
+
+    res = 64
+    ucfg = tiny_unet_config(with_ip=True, lora_rank=4)
+    rcfg = tiny_resampler_config(output_dim=ucfg.cross_attention_dim, lora_rank=2)
+    pipe = build_pipeline(ucfg, tiny_vae_config(), rcfg, tiny_dinov2_config(),
+                          jax.random.PRNGKey(0), image_size=res).shard(make_mesh(num_devices=NDEV))
+
+    rng = np.random.default_rng(4)
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(1, res, res, 3)), jnp.float32)
+    pe = jnp.asarray(rng.normal(size=(1, 7, ucfg.cross_attention_dim)), jnp.float32)
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - ucfg.addition_time_embed_dim * 6
+    pooled = jnp.asarray(rng.normal(size=(1, pooled_dim)), jnp.float32)
+    base = dict(num_inference_steps=2, sequence_parallel=True, sp_min_seq=64)
+    key = jax.random.PRNGKey(3)
+
+    plain, _ = pipe.restore(lq, pe, pooled, cfg=RestoreConfig(**base), key=key)
+    tiled, _ = pipe.restore(
+        lq, pe, pooled,
+        cfg=RestoreConfig(vae_tiling=True, vae_tile_latent=24, vae_tile_overlap=0.5,
+                          vae_slicing=True, **base),
+        key=key,
+    )
+    assert tiled.shape == plain.shape == (1, res, res, 3)
+    assert np.isfinite(tiled).all()
+    # same trajectory (identical latents), only the decode tiles — the
+    # difference is the tiling approximation alone
+    err = np.abs(tiled - plain).mean() / (np.abs(plain).mean() + 1e-8)
+    assert err < 0.4, err
