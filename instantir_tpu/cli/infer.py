@@ -89,6 +89,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neg_prompt", type=str, default=None)
     p.add_argument("--save_preview_row", action="store_true")
     p.add_argument(
+        "--use_clip_encoder", action="store_true",
+        help="read --vision_encoder_path as an HF CLIP vision tower instead "
+        "of DINOv2 and condition on its penultimate-layer tokens "
+        "(infer.py:275-279; the released InstantIR adapters are DINOv2-based)",
+    )
+    p.add_argument(
+        "--denoising_start", type=int, default=1000,
+        help="truncate the denoise schedule: <1000 spaces the steps evenly "
+        "over [steps_offset, denoising_start) instead of the full range — "
+        "the LQ-latent init is already partially clean. Implements the "
+        "INTENDED semantics of the reference flag (its own computed list is "
+        "dead code, overwritten at infer.py:189-190 — SURVEY §2.5).",
+    )
+    p.add_argument(
         "--multistep_restore", action="store_true",
         help="Heun lookahead on previewing steps: evaluate aggregator+UNet at "
         "the first-order-predicted next latent (working rebuild of the "
@@ -166,6 +180,7 @@ def main(argv: Optional[List[str]] = None):
         vision_encoder_path=args.vision_encoder_path,
         adapter_path=args.adapter_model_path,
         previewer_lora_path=args.previewer_lora_path,
+        use_clip_encoder=args.use_clip_encoder,
     )
     (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
 
@@ -189,7 +204,16 @@ def main(argv: Optional[List[str]] = None):
 
     prompt = args.prompt or DEFAULT_PROMPT
     neg = args.neg_prompt or DEFAULT_NEG_PROMPT
+    custom_timesteps = None
+    if args.denoising_start < 1000:
+        # evenly spaced over [offset, denoising_start), descending — the
+        # reference's intended truncated schedule (infer.py:184-188)
+        stride = max(args.denoising_start // args.num_inference_steps, 1)
+        custom_timesteps = tuple(
+            i * stride + 1 for i in range(args.num_inference_steps)
+        )[::-1]
     cfg = RestoreConfig(
+        timesteps=custom_timesteps,
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.cfg,
         preview_start=args.preview_start,

@@ -138,6 +138,63 @@ class CLIPVisionModel(nn.Module):
         return x, proj
 
 
+class CLIPImageEncoder(nn.Module):
+    """CLIP vision tower as the pipeline's *image-prompt encoder* — the
+    reference's ``--use_clip_encoder`` branch (``infer.py:275-279``,
+    ``module/ip_adapter/utils.py:104-111``).
+
+    Drop-in for ``DINOv2Model`` behind the framework-wide encoder contract
+    (``preprocess_dinov2(pixels01)`` → ``encoder.apply(params, pixels)`` →
+    token sequence): the call re-normalizes from the ImageNet statistics the
+    shared preprocess applied to CLIP's own statistics (exact — per-channel
+    affine maps commute with the bilinear resize), resizes again if the CLIP
+    config wants a non-224 grid, and returns the **penultimate-layer hidden
+    states** ``[B, N+1, hidden_size]``. That matches the reference's live
+    CLIP semantics: with a Resampler projector the pipeline passes
+    ``output_hidden_states=True`` and feeds ``hidden_states[-2]``
+    (``pipelines/sdxl_instantir.py:643``, selection at ``:698``) — the
+    IP-Adapter-Plus convention — and builds the Resampler with
+    ``embedding_dim = image_encoder.config.hidden_size``
+    (``module/ip_adapter/utils.py:138-142``). The pooled
+    ``image_embeds`` branch (``:654-656``) is live only for plain
+    ``ImageProjection`` projectors, which InstantIR never installs.
+
+    Deviation (documented): the 224² resize uses bilinear interpolation (the
+    shared preprocess) where HF's ``CLIPImageProcessor`` defaults to bicubic.
+    """
+
+    config: CLIPVisionConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        from instantir_tpu.models.dinov2 import DINOV2_MEAN, DINOV2_STD
+
+        cfg = self.config
+        imagenet_mean = jnp.asarray(DINOV2_MEAN, pixels.dtype)
+        imagenet_std = jnp.asarray(DINOV2_STD, pixels.dtype)
+        x01 = pixels * imagenet_std + imagenet_mean
+        b, h, w, c = x01.shape
+        if (h, w) != (cfg.image_size, cfg.image_size):
+            x01 = jax.image.resize(x01, (b, cfg.image_size, cfg.image_size, c), method="bilinear")
+        x = (x01 - jnp.asarray(CLIP_MEAN, x01.dtype)) / jnp.asarray(CLIP_STD, x01.dtype)
+        # hidden_states[-2] = output of layer n-2 — run n-1 of the n layers,
+        # no post-LN, no projection (HF indexing: hidden_states[i] is the
+        # embedding output for i=0, layer i-1's output otherwise)
+        sub_cfg = dataclasses.replace(cfg, num_layers=cfg.num_layers - 1, projection_dim=None)
+        tokens, _ = CLIPVisionModel(sub_cfg, name="clip", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return tokens
+
+
+def convert_clip_image_encoder(sd: Dict[str, np.ndarray], config: CLIPVisionConfig) -> Dict[str, Any]:
+    """HF ``CLIPVisionModelWithProjection`` state dict → ``CLIPImageEncoder``
+    tree. The full tower converts; the wrapper's sub-module simply does not
+    read the last layer / post-norm / projection leaves (flax ignores unused
+    subtrees), mirroring ``hidden_states[-2]`` never touching them."""
+    return {"params": {"clip": convert_clip_vision(sd, config)["params"]}}
+
+
 def convert_clip_vision(sd: Dict[str, np.ndarray], config: CLIPVisionConfig) -> Dict[str, Any]:
     """HF ``CLIPVisionModelWithProjection`` state dict → flax tree."""
     p0 = "vision_model."

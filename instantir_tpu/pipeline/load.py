@@ -119,6 +119,25 @@ def dinov2_config_from_json(d: Dict[str, Any]):
     )
 
 
+def clip_vision_config_from_json(d: Dict[str, Any]):
+    """HF CLIP vision config (``config.json``, optionally nested under
+    ``vision_config``) → ``CLIPVisionConfig``."""
+    from instantir_tpu.models.clip_vision import CLIPVisionConfig
+
+    d = d.get("vision_config", d)
+    return CLIPVisionConfig(
+        hidden_size=d["hidden_size"],
+        num_layers=d["num_hidden_layers"],
+        num_heads=d["num_attention_heads"],
+        intermediate_size=d["intermediate_size"],
+        image_size=d.get("image_size", 224),
+        patch_size=d.get("patch_size", 16),
+        projection_dim=d.get("projection_dim", 512),
+        hidden_act=d.get("hidden_act", "quick_gelu"),
+        eps=d.get("layer_norm_eps", 1e-5),
+    )
+
+
 def instantir_config_from_json(path: Optional[str]):
     """Optional ``instantir_config.json`` next to the InstantIR artifacts:
     {"lora_rank": ..., "resampler": {ResamplerConfig fields}} — the reference
@@ -199,6 +218,7 @@ def load_instantir_pipeline(
     dtype: Any = jnp.bfloat16,
     use_flash: bool = True,
     strict: bool = True,
+    use_clip_encoder: bool = False,
 ) -> InstantIRPipeline:
     """Build an InstantIRPipeline with converted released weights.
 
@@ -213,6 +233,13 @@ def load_instantir_pipeline(
     reference's strict state-dict loads (``sdxl_instantir.py:386-394``,
     ``module/ip_adapter/utils.py:56-59``). ``strict=False`` downgrades the
     shortfall to a warning (deliberate partial loads).
+
+    ``use_clip_encoder`` swaps the DINOv2 image-prompt encoder for a CLIP
+    vision tower (the reference's ``--use_clip_encoder``, ``infer.py:275-279``):
+    ``vision_encoder_path`` is then read as an HF
+    ``CLIPVisionModelWithProjection`` checkpoint and the Resampler consumes
+    the penultimate-layer hidden states (``hidden_size``-dim tokens — the
+    reference's live CLIP branch, ``pipelines/sdxl_instantir.py:643,698``).
     """
     import dataclasses
 
@@ -233,7 +260,12 @@ def load_instantir_pipeline(
     d = _read_config(os.path.join(sdxl_path, "vae"))
     vae_cfg = vae_config_from_json(d) if d else sdxl_vae_config()
     d = vision_encoder_path and _read_config(vision_encoder_path)
-    dino_cfg = dinov2_config_from_json(d) if d else dinov2_large_config()
+    if use_clip_encoder:
+        from instantir_tpu.models.clip_vision import clip_vit_b16_config
+
+        dino_cfg = clip_vision_config_from_json(d) if d else clip_vit_b16_config()
+    else:
+        dino_cfg = dinov2_config_from_json(d) if d else dinov2_large_config()
     if "resampler" in icfg:
         from instantir_tpu.models.resampler import ResamplerConfig
 
@@ -251,7 +283,12 @@ def load_instantir_pipeline(
     aggregator = Aggregator(unet_cfg, use_flash=use_flash, dtype=dtype, param_dtype=dtype)
     vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
     resampler = Resampler(res_cfg, dtype=dtype, param_dtype=dtype)
-    dino = DINOv2Model(dino_cfg, dtype=dtype, param_dtype=dtype)
+    if use_clip_encoder:
+        from instantir_tpu.models.clip_vision import CLIPImageEncoder
+
+        dino = CLIPImageEncoder(dino_cfg, dtype=dtype, param_dtype=dtype)
+    else:
+        dino = DINOv2Model(dino_cfg, dtype=dtype, param_dtype=dtype)
 
     # shape templates (abstract — no compute); dims all derived from configs
     key = jax.random.PRNGKey(0)
@@ -347,11 +384,16 @@ def load_instantir_pipeline(
     vae_sd = t2f.load_torch_state_dict(_find_weights(os.path.join(sdxl_path, "vae")))
     vae_tree = t2f.convert_vae(vae_sd, vae_cfg)
 
-    # DINOv2
+    # image-prompt encoder: DINOv2 (the live config) or a CLIP vision tower
     dino_tree = None
     if vision_encoder_path:
         dino_sd = t2f.load_torch_state_dict(_find_weights(vision_encoder_path))
-        dino_tree = t2f.convert_dinov2(dino_sd, dino_cfg)
+        if use_clip_encoder:
+            from instantir_tpu.models.clip_vision import convert_clip_image_encoder
+
+            dino_tree = convert_clip_image_encoder(dino_sd, dino_cfg)
+        else:
+            dino_tree = t2f.convert_dinov2(dino_sd, dino_cfg)
 
     params = {
         "unet": jax_tree_cast(unet_tree, dtype),

@@ -111,8 +111,12 @@ def main():
     if STAGE == "stage1":
         from instantir_tpu.train.stage1_adapter import Stage1Config, Stage1Trainer
 
+        # 850M trainable ip-params: fp32 Adam moments (~6.8 GB) next to the frozen
+        # 2.6B bf16 UNet do not fit a 16 GB chip — run the 8-bit Adam variant here
+        # (same lever the stage-2 row uses; pods shard moments via ZeRO-1 instead).
         cfg = Stage1Config(output_dir=None, max_train_steps=100, train_batch_size=BATCH,
-                           resolution=RES, lr_warmup_steps=0, importance_sampling=True)
+                           resolution=RES, lr_warmup_steps=0, importance_sampling=True,
+                           use_8bit_adam=True)
         trainer = Stage1Trainer(unet, resampler, vae, dino, params, cfg)
     elif STAGE == "previewer":
         from instantir_tpu.train.previewer_lora import PreviewerConfig, PreviewerTrainer
