@@ -268,6 +268,58 @@ def _snap(v: int, multiple: int = 16) -> int:
     return max(multiple, int(round(v / multiple)) * multiple)
 
 
+def _snap_up(v: int, multiple: int = 16) -> int:
+    return max(multiple, int(-(-v // multiple)) * multiple)
+
+
+# ---------------------------------------------------------------------------
+# traced (single-program) variant
+# ---------------------------------------------------------------------------
+
+
+def _reflect_fill(img: jnp.ndarray, vh: jnp.ndarray, vw: jnp.ndarray) -> jnp.ndarray:
+    """Fill the canvas region beyond the [0,0]-anchored valid (vh, vw) window
+    with the valid region's reflection (np.pad 'reflect' indexing, clamped
+    once past a full period) — keeps downstream filters/JPEG/noise seeing
+    image-like content instead of resize garbage."""
+    h, w = img.shape[1], img.shape[2]
+    row = jnp.clip(vh - 1 - jnp.abs(vh - 1 - jnp.arange(h)), 0, vh - 1)
+    col = jnp.clip(vw - 1 - jnp.abs(vw - 1 - jnp.arange(w)), 0, vw - 1)
+    return img[:, row][:, :, col]
+
+
+def _resize_valid(
+    img: jnp.ndarray,
+    in_valid: jnp.ndarray,
+    canvas: Tuple[int, int],
+    out_valid: jnp.ndarray,
+    method_idx: jnp.ndarray,
+) -> jnp.ndarray:
+    """Resize the [0,0]-anchored valid region of ``img`` (traced [2] sizes)
+    onto a static ``canvas``, valid size becoming ``out_valid`` (traced [2]).
+
+    ``jax.image.scale_and_translate`` with translation 0 samples output pixel
+    centers at (j+0.5)/scale — identical to ``jax.image.resize`` over the
+    valid window — and supports *traced* scales (it builds dense [in,out]
+    weight matrices, a trivial matmul at these sizes). method_idx selects the
+    reference's random mode: 0='area' (antialiased linear, module-docstring
+    deviation), 1=bilinear, 2=bicubic.
+    """
+    b, h, w, c = img.shape
+    scale = out_valid.astype(jnp.float32) / in_valid.astype(jnp.float32)
+
+    def branch(method, antialias):
+        return lambda: jax.image.scale_and_translate(
+            img, (b, canvas[0], canvas[1], c), (1, 2),
+            scale, jnp.zeros((2,), jnp.float32), method=method, antialias=antialias,
+        )
+
+    out = jax.lax.switch(
+        method_idx, [branch("linear", True), branch("linear", False), branch("cubic", False)]
+    )
+    return _reflect_fill(out, out_valid[0], out_valid[1])
+
+
 @dataclasses.dataclass
 class RealESRGANDegradation:
     """Callable degradation: (key, gt [B,H,W,3] in [0,1], kernels) → (lq, gt)
@@ -280,6 +332,141 @@ class RealESRGANDegradation:
     def __post_init__(self):
         if self.resolution is not None:
             self.degrade_opt = dict(self.degrade_opt, gt_size=self.resolution)
+
+    def jitted(self):
+        """One-program form of ``__call__``: every random *choice* (scales,
+        modes, noise types, JPEG qualities, crop, no-degradation) is traced
+        from the JAX key, so the whole chain compiles ONCE per input shape
+        and runs with zero host round-trips per step.
+
+        The eager ``__call__`` re-dispatches ~10² device ops per call with
+        fresh host randomness — through a remote-relay TPU (25-90 ms per
+        dispatch) that dominates a train step. Random-size resizes become
+        ``scale_and_translate`` with traced scales onto static /16-aligned
+        canvases ([0,0]-anchored valid window, reflect-filled garbage), so
+        noise statistics and the JPEG block grid over the valid window match
+        the eager path's; branch choices are lax.switch/lax.cond.
+
+        Distribution deltas vs the eager path (bounded in
+        tests/test_degradation_jit.py): canvas JPEG edge blocks see reflected
+        content beyond the valid window where the eager path snaps the image
+        size to /16; intermediate resize sizes are exact (round(ori·s))
+        instead of snapped.
+        """
+        if getattr(self, "_jit_fn", None) is None:
+            self._jit_fn = jax.jit(self.traced_call)
+        return self._jit_fn
+
+    def traced_call(
+        self,
+        key: jax.Array,
+        img_gt: jnp.ndarray,
+        kernels: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        opt = self.degrade_opt
+        kernel1, kernel2, sinc_kernel = kernels
+        im_gt = jnp.asarray(img_gt, jnp.float32)
+        b, ori_h, ori_w, _ = im_gt.shape
+        sf = opt["sf"]
+        gt_size = opt["gt_size"]
+        lq_size = gt_size // sf
+        if ori_h % (16 * sf) or ori_w % (16 * sf):
+            raise ValueError(f"traced degradation needs H,W multiples of {16*sf}, got {ori_h}x{ori_w}")
+
+        ks = jax.random.split(key, 24)
+        u = jax.random.uniform(ks[0], (16,))  # per-call scalar choice draws
+
+        if opt["use_usm"]:
+            im_gt = usm_sharp(im_gt)
+
+        # ---- stage 1: blur → random resize → noise → JPEG ----
+        out = filter2d(im_gt, kernel1)
+
+        p = np.asarray(opt["resize_prob"]) / np.sum(opt["resize_prob"])
+        s_up = 1.0 + jax.random.uniform(ks[1], ()) * (opt["resize_range"][1] - 1.0)
+        s_down = opt["resize_range"][0] + jax.random.uniform(ks[2], ()) * (1.0 - opt["resize_range"][0])
+        scale1 = jnp.where(u[0] < p[0], s_up, jnp.where(u[0] < p[0] + p[1], s_down, 1.0))
+        mode1 = jax.random.randint(ks[3], (), 0, 3)
+        canvas1 = (_snap_up(int(ori_h * opt["resize_range"][1])), _snap_up(int(ori_w * opt["resize_range"][1])))
+        v1 = jnp.round(jnp.asarray([ori_h, ori_w], jnp.float32) * scale1).astype(jnp.int32)
+        out = _resize_valid(out, jnp.asarray([ori_h, ori_w], jnp.int32), canvas1, v1, mode1)
+
+        sigma1 = jax.random.uniform(ks[4], (b,), minval=opt["noise_range"][0], maxval=opt["noise_range"][1])
+        psc1 = jax.random.uniform(
+            ks[5], (b,), minval=opt["poisson_scale_range"][0], maxval=opt["poisson_scale_range"][1]
+        )
+        gray1 = (jax.random.uniform(ks[6], (b,)) < opt["gray_noise_prob"]).astype(jnp.float32)
+        out = jax.lax.cond(
+            u[1] < opt["gaussian_noise_prob"],
+            lambda x: add_gaussian_noise(ks[7], x, sigma1, gray1),
+            lambda x: add_poisson_noise(ks[8], x, psc1, gray1),
+            out,
+        )
+
+        q1 = jax.random.uniform(ks[9], (b,), minval=opt["jpeg_range"][0], maxval=opt["jpeg_range"][1])
+        out = jpeg_compress(jnp.clip(out, 0.0, 1.0), q1)
+
+        # ---- stage 2: (p) blur → random resize → noise → {JPEG, sinc} ----
+        out = jax.lax.cond(
+            u[2] < opt["second_blur_prob"], lambda x: filter2d(x, kernel2), lambda x: x, out
+        )
+        p2 = np.asarray(opt["resize_prob2"]) / np.sum(opt["resize_prob2"])
+        s_up2 = 1.0 + jax.random.uniform(ks[10], ()) * (opt["resize_range2"][1] - 1.0)
+        s_down2 = opt["resize_range2"][0] + jax.random.uniform(ks[11], ()) * (1.0 - opt["resize_range2"][0])
+        scale2 = jnp.where(u[3] < p2[0], s_up2, jnp.where(u[3] < p2[0] + p2[1], s_down2, 1.0))
+        mode2 = jax.random.randint(ks[12], (), 0, 3)
+        canvas2 = (
+            _snap_up(int(ori_h / sf * opt["resize_range2"][1])),
+            _snap_up(int(ori_w / sf * opt["resize_range2"][1])),
+        )
+        v2 = jnp.round(jnp.asarray([ori_h / sf, ori_w / sf], jnp.float32) * scale2).astype(jnp.int32)
+        out = _resize_valid(out, v1, canvas2, v2, mode2)
+
+        sigma2 = jax.random.uniform(ks[13], (b,), minval=opt["noise_range2"][0], maxval=opt["noise_range2"][1])
+        psc2 = jax.random.uniform(
+            ks[14], (b,), minval=opt["poisson_scale_range2"][0], maxval=opt["poisson_scale_range2"][1]
+        )
+        gray2 = (jax.random.uniform(ks[15], (b,)) < opt["gray_noise_prob2"]).astype(jnp.float32)
+        out = jax.lax.cond(
+            u[4] < opt["gaussian_noise_prob2"],
+            lambda x: add_gaussian_noise(ks[16], x, sigma2, gray2),
+            lambda x: add_poisson_noise(ks[17], x, psc2, gray2),
+            out,
+        )
+
+        final = (ori_h // sf, ori_w // sf)
+        q2 = jax.random.uniform(ks[18], (b,), minval=opt["jpeg_range2"][0], maxval=opt["jpeg_range2"][1])
+        mode3 = jax.random.randint(ks[19], (), 0, 3)
+        fvalid = jnp.asarray(final, jnp.int32)
+
+        def resize_first(x):
+            x = _resize_valid(x, v2, final, fvalid, mode3)
+            x = filter2d(x, sinc_kernel)
+            return jpeg_compress(jnp.clip(x, 0.0, 1.0), q2)
+
+        def jpeg_first(x):
+            x = jpeg_compress(jnp.clip(x, 0.0, 1.0), q2)
+            x = _resize_valid(x, v2, final, fvalid, mode3)
+            return filter2d(x, sinc_kernel)
+
+        out = jax.lax.cond(u[5] < 0.5, resize_first, jpeg_first, out)
+        im_lq = jnp.clip(out, 0.0, 1.0)
+
+        # ---- paired random crop + resize-back (traced offsets) ----
+        top = jax.random.randint(ks[20], (), 0, final[0] - lq_size + 1)
+        left = jax.random.randint(ks[21], (), 0, final[1] - lq_size + 1)
+        im_lq = jax.lax.dynamic_slice(im_lq, (0, top, left, 0), (b, lq_size, lq_size, 3))
+        im_gt = jax.lax.dynamic_slice(im_gt, (0, top * sf, left * sf, 0), (b, gt_size, gt_size, 3))
+
+        if opt["resize_lq"]:
+            im_lq = resize(im_lq, (gt_size, gt_size), "bicubic")
+
+        im_lq = jnp.where(u[6] < opt["no_degradation_prob"], im_gt, im_lq)
+        im_lq = jnp.where(jnp.any(jnp.isnan(im_lq)), im_gt, im_lq)
+
+        im_lq = jnp.clip(im_lq * 2.0 - 1.0, -1.0, 1.0)
+        im_gt = jnp.clip(im_gt * 2.0 - 1.0, -1.0, 1.0)
+        return im_lq, im_gt
 
     def sample_kernels(self, rng: np.random.Generator, batch: int):
         triples = [sample_kernel_triple(rng, self.kernel_opt) for _ in range(batch)]

@@ -144,6 +144,24 @@ def replicate_or_keep(tree: Any, mesh) -> Any:
     return replicate_params(tree, mesh)
 
 
+def run_degradation(degradation, key, images, kernels, *, jit_mode: bool, host_rng):
+    """Degrade a batch via the single-program traced chain when possible.
+
+    The eager chain issues ~10² individually-dispatched device ops with fresh
+    host randomness per step — a structural loss on a remote-relay TPU where
+    each dispatch costs 25-90 ms of host time. ``jit_mode`` (every trainer's
+    default) uses ``RealESRGANDegradation.traced_call``: one compiled program,
+    all random choices traced from ``key``. Falls back to the eager chain when
+    the input shape doesn't meet the traced path's static-canvas requirement
+    (H, W multiples of 16·sf — tiny test geometries)."""
+    if jit_mode:
+        h, w = images.shape[1], images.shape[2]
+        mult = 16 * degradation.degrade_opt["sf"]
+        if h % mult == 0 and w % mult == 0:
+            return degradation.jitted()(key, images, kernels)
+    return degradation(key, images, kernels=kernels, host_rng=host_rng)
+
+
 def shard_opt_or_keep(tree: Any, mesh, zero1: bool = True) -> Any:
     """Optimizer-state placement: ZeRO-1 sharded over ``data`` (default) or
     replicated. The reference has no equivalent (accelerate DDP replicates

@@ -61,6 +61,7 @@ class PreviewerConfig:
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     resolution: int = 512
+    jit_degradation: bool = True  # single-program traced degradation (common.run_degradation)
     num_ddim_timesteps: int = 50
     w_min: float = 3.0
     w_max: float = 15.0
@@ -329,8 +330,9 @@ class PreviewerTrainer:
             (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"])),
             self.mesh,
         )
-        lq, gt = self.degradation(
-            key, images, kernels=kernels,
+        lq, gt = common.run_degradation(
+            self.degradation, key, images, kernels,
+            jit_mode=self.cfg.jit_degradation,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
         return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),

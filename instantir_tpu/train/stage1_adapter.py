@@ -50,6 +50,7 @@ class Stage1Config:
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     resolution: int = 512
+    jit_degradation: bool = True  # single-program traced degradation (common.run_degradation)
     image_drop_rate: float = 0.05
     importance_sampling: bool = False
     checkpointing_steps: int = 500
@@ -236,8 +237,9 @@ class Stage1Trainer:
             (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"])),
             self.mesh,
         )
-        lq, gt = self.degradation(
-            key, images, kernels=kernels,
+        lq, gt = common.run_degradation(
+            self.degradation, key, images, kernels,
+            jit_mode=self.cfg.jit_degradation,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
         return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),

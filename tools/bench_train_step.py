@@ -134,29 +134,47 @@ def main():
     else:
         raise SystemExit(f"unknown BENCH_TRAIN_STAGE={STAGE!r}")
 
-    data = SyntheticImageDataset(seed=0).batches(batch_size=BATCH, gt_size=RES * 4)
+    # loader images at gt_size: the reference crops to `resolution` BEFORE the
+    # degradation (utils/train_utils.py:124-151), so ori == gt_size and the
+    # paired random crop is a no-op — feeding larger images would 16× the
+    # degradation pixel cost vs the reference operating point.
+    data = SyntheticImageDataset(seed=0).batches(batch_size=BATCH, gt_size=RES)
     cond = zero_cond(BATCH)
 
     def one_step(seed):
+        """Returns (prepare_s, step_s, loss). The split is host-visible time:
+        prepare covers the host batch + degradation dispatches, step covers
+        the jitted train_step dispatch + the forced device→host loss fetch
+        (the only sync the run loop does — matching trainer.run timing)."""
+        t0 = time.time()
         batch = trainer.prepare_batch(next(data), cond, jax.random.PRNGKey(seed))
+        # fetch one pixel so 'prepare' includes the degradation's device time,
+        # not just its dispatch (relay: block_until_ready does not sync)
+        np.asarray(batch["lq"][0, 0, 0])
+        t1 = time.time()
         metrics = trainer.train_step(batch, jax.random.PRNGKey(seed + 1))
-        return float(metrics["loss"])  # forced device→host fetch
+        loss = float(metrics["loss"])  # forced device→host fetch
+        t2 = time.time()
+        return t1 - t0, t2 - t1, loss
 
     t0 = time.time()
-    loss0 = one_step(0)
+    _, _, loss0 = one_step(0)
     compile_s = time.time() - t0
 
-    times = []
+    prep_times, step_times = [], []
     for i in range(TIMED_STEPS):
-        t0 = time.time()
-        one_step(i + 1)
-        times.append(time.time() - t0)
+        p, s, _ = one_step(i + 1)
+        prep_times.append(p)
+        step_times.append(s)
+    times = [p + s for p, s in zip(prep_times, step_times)]
     dt = min(times)
     print(json.dumps({
         "metric": f"{STAGE} train step, {RES}², batch {BATCH} (SDXL scale, grad-ckpt, 1 chip)",
         "value": round(BATCH / dt, 3),
         "unit": "images/sec",
         "sec_per_step": round(dt, 3),
+        "prepare_s": [round(t, 3) for t in prep_times],
+        "step_s": [round(t, 3) for t in step_times],
         "first_step_s": round(compile_s, 1),
         "first_loss": round(loss0, 4),
         "times": [round(t, 3) for t in times],
