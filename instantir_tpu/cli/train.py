@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--CFG_scale", type=float, default=1.0)
     p.add_argument("--use_ema_adapter", action="store_true")
     p.add_argument("--optimize_adapter", action="store_true")
+    p.add_argument(
+        "--aggregator_adapter", action="store_true",
+        help="stage2: give the aggregator its own image-prompt adapter (a "
+        "Resampler over the encoder tokens + a TA-IP branch on each attn1) — "
+        "working rebuild of the reference flag whose in-tree path is broken "
+        "(see models/aggregator.py)",
+    )
+    p.add_argument("--adapter_tokens", type=int, default=64)
     p.add_argument("--importance_sampling", action="store_true")
     p.add_argument("--num_ddim_timesteps", type=int, default=50)
     p.add_argument("--w_min", type=float, default=3.0)
@@ -360,10 +368,20 @@ def main(argv=None):
             image_drop_rate=args.image_drop_rate, text_drop_rate=args.text_drop_rate,
             cond_drop_rate=args.cond_drop_rate, cfg_scale=args.CFG_scale,
             use_ema_adapter=args.use_ema_adapter, optimize_adapter=args.optimize_adapter,
+            aggregator_adapter=args.aggregator_adapter, adapter_tokens=args.adapter_tokens,
             importance_sampling=args.importance_sampling, **shared,
         )
+        aggregator, t_params, agg_resampler = pipe.aggregator, pipe.params, None
+        if cfg.aggregator_adapter:
+            from instantir_tpu.train.stage2_aggregator import enable_aggregator_adapter
+
+            aggregator, t_params, agg_resampler = enable_aggregator_adapter(
+                pipe.aggregator, pipe.params, pipe.image_encoder.config.hidden_size, cfg,
+                seed=args.seed,
+            )
         trainer = Stage2Trainer(
-            pipe.unet, pipe.aggregator, pipe.resampler, pipe.vae, pipe.image_encoder, pipe.params, cfg, losses_cfg
+            pipe.unet, aggregator, pipe.resampler, pipe.vae, pipe.image_encoder, t_params, cfg,
+            losses_cfg, agg_resampler=agg_resampler,
         )
         trainer.run(data, cond, val_batch=val_batch)
         if _is_main():

@@ -114,6 +114,20 @@ class Aggregator(nn.Module):
     use_flash: bool = True
     pad_concat: bool = False
     attn1_mode: str = "plain"  # "plain" | "split" | "sep_split"
+    # Working rebuild of the reference's --aggregator_adapter with INTENDED
+    # semantics (the in-tree path is broken twice over:
+    # train_stage2_aggregator.py:846 removes attn2 BEFORE :929 installs IP
+    # processors that only target attn2, so the projected image tokens have
+    # no consumer; and :1581 inserts image_embeds into added_cond_kwargs only
+    # AFTER the aggregator call, so module/aggregator.py:745-748 raises).
+    # Here: attn2 stays removed (the live aggregator design) and each attn1
+    # gains the decoupled TA-IP second-softmax branch over the projected
+    # image-prompt tokens with AdaLN(temb) K/V modulation — the exact ip-half
+    # of TA_IPAttnProcessor2_0 (attention_processor.py:1063-1207) that
+    # init_adapter_in_unet would have installed. The caller projects encoder
+    # tokens through the aggregator's own Resampler BEFORE this call (the
+    # ordering fix), see train/stage2_aggregator.py.
+    aggregator_adapter: bool = False
     global_pool_conditions: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -127,6 +141,8 @@ class Aggregator(nn.Module):
         encoder_hidden_states: Optional[jnp.ndarray] = None,  # unused by blocks (attn2 removed)
         added_text_embeds: jnp.ndarray = None,
         added_time_ids: jnp.ndarray = None,
+        ip_hidden_states: Optional[jnp.ndarray] = None,  # aggregator_adapter tokens
+        ip_scale=None,
         conditioning_scale: float = 1.0,
         ref_scale: float = 1.0,  # sep_split cross-attention strength
     ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
@@ -186,8 +202,15 @@ class Aggregator(nn.Module):
 
         # sep_split's AdaLN conditions on the combined time embedding (the
         # reference routes `temb` via cross_attention_kwargs; time_embedding_dim
-        # =1280 = time_embed_dim, attention_processor.py:1444)
-        attn_temb = emb if self.attn1_mode == "sep_split" else None
+        # =1280 = time_embed_dim, attention_processor.py:1444); the
+        # aggregator_adapter's TA-IP AdaLN uses the same embedding
+        attn_temb = emb if (self.attn1_mode == "sep_split" or self.aggregator_adapter) else None
+        if self.aggregator_adapter and ip_hidden_states is None:
+            raise ValueError("aggregator_adapter=True requires ip_hidden_states (project the "
+                             "image-encoder tokens through the aggregator's Resampler first)")
+        if self.aggregator_adapter and self.attn1_mode != "plain":
+            raise ValueError("aggregator_adapter requires attn1_mode='plain' (the split-attention "
+                             "ablations replace attn1 with SplitAttention, which has no ip branch)")
 
         # 3. down blocks (cross-attention removed)
         res_samples = (x,)
@@ -205,13 +228,15 @@ class Aggregator(nn.Module):
                     num_layers=cfg.layers_per_block,
                     cross_attention_dim=cfg.cross_attention_dim,
                     has_cross_attention=False,
+                    attn1_with_ip=self.aggregator_adapter,
                     attn1_mode=self.attn1_mode,
                     add_downsample=not is_final,
                     norm_num_groups=cfg.norm_num_groups,
                     use_flash=self.use_flash,
                     name=f"down_blocks_{i}",
                     **common,
-                )(x, emb, attn_temb=attn_temb, ref_scale=ref_scale)
+                )(x, emb, ip_hidden_states=ip_hidden_states, attn_temb=attn_temb,
+                  ip_scale=ip_scale, ref_scale=ref_scale)
             else:
                 x, res = _Down(
                     out_channels=out_ch,
@@ -238,12 +263,14 @@ class Aggregator(nn.Module):
             transformer_layers=cfg.transformer_layers_per_block[-1],
             cross_attention_dim=cfg.cross_attention_dim,
             has_cross_attention=False,
+            attn1_with_ip=self.aggregator_adapter,
             attn1_mode=self.attn1_mode,
             norm_num_groups=cfg.norm_num_groups,
             use_flash=self.use_flash,
             name="mid_block",
             **common,
-        )(x, emb, attn_temb=attn_temb, ref_scale=ref_scale)
+        )(x, emb, ip_hidden_states=ip_hidden_states, attn_temb=attn_temb,
+          ip_scale=ip_scale, ref_scale=ref_scale)
 
         # 5. split halves + SFT heads (cond modulates ref)
         def split_h(t):

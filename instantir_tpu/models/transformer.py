@@ -49,6 +49,14 @@ class BasicTransformerBlock(nn.Module):
     has_cross_attention: bool = True  # False after remove_attn2
     with_ip: bool = False
     time_aware_ip: bool = True
+    # the aggregator_adapter rebuild: TA-IP decoupled branch on the SELF-
+    # attention (attn2 stays removed). Intended semantics of the reference's
+    # --aggregator_adapter, which is broken in-tree twice over
+    # (train_stage2_aggregator.py:846 removes attn2 BEFORE :929 installs IP
+    # processors that only target attn2; and :1581 inserts image_embeds into
+    # added_cond_kwargs only AFTER the aggregator call → aggregator.py:745
+    # raises). Only meaningful with attn1_mode="plain".
+    attn1_with_ip: bool = False
     attn1_mode: str = "plain"  # "plain" | "split" | "sep_split" (aggregator ablations)
     lora_rank: int = 0
     lora_alpha: float = 1.0
@@ -79,11 +87,19 @@ class BasicTransformerBlock(nn.Module):
                 query_dim=self.dim,
                 heads=self.heads,
                 head_dim=self.head_dim,
+                with_ip=self.attn1_with_ip,
+                time_aware_ip=self.time_aware_ip,
                 use_flash=self.use_flash,
                 name="attn1",
                 **lora,
                 **common,
-            )(normed, lora_scale=lora_scale)
+            )(
+                normed,
+                lora_scale=lora_scale,
+                ip_hidden_states=ip_hidden_states if self.attn1_with_ip else None,
+                temb=temb if self.attn1_with_ip else None,
+                ip_scale=ip_scale if self.attn1_with_ip else None,
+            )
         else:
             # aggregator split-attention ablations over the H-concatenated map
             # (reference init_aggregator_attn_proc, attention_processor.py:1418-1467)
@@ -143,6 +159,7 @@ class Transformer2DModel(nn.Module):
     has_cross_attention: bool = True
     with_ip: bool = False
     time_aware_ip: bool = True
+    attn1_with_ip: bool = False  # aggregator_adapter: TA-IP branch on attn1
     attn1_mode: str = "plain"
     norm_num_groups: int = 32
     lora_rank: int = 0
@@ -180,6 +197,7 @@ class Transformer2DModel(nn.Module):
                 has_cross_attention=self.has_cross_attention,
                 with_ip=self.with_ip,
                 time_aware_ip=self.time_aware_ip,
+                attn1_with_ip=self.attn1_with_ip,
                 attn1_mode=self.attn1_mode,
                 use_flash=self.use_flash,
                 name=f"blocks_{i}",

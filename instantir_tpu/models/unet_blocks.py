@@ -64,6 +64,7 @@ class CrossAttnDownBlock2D(nn.Module):
     has_cross_attention: bool = True
     with_ip: bool = False
     time_aware_ip: bool = True
+    attn1_with_ip: bool = False  # aggregator_adapter: TA-IP branch on attn1
     attn1_mode: str = "plain"
     add_downsample: bool = True
     norm_num_groups: int = 32
@@ -101,6 +102,7 @@ class CrossAttnDownBlock2D(nn.Module):
             has_cross_attention=self.has_cross_attention,
             with_ip=self.with_ip,
             time_aware_ip=self.time_aware_ip,
+            attn1_with_ip=self.attn1_with_ip,
             attn1_mode=self.attn1_mode,
             norm_num_groups=self.norm_num_groups,
             lora_rank=self.lora_rank,
@@ -146,6 +148,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     has_cross_attention: bool = True
     with_ip: bool = False
     time_aware_ip: bool = True
+    attn1_with_ip: bool = False  # aggregator_adapter: TA-IP branch on attn1
     attn1_mode: str = "plain"
     norm_num_groups: int = 32
     lora_rank: int = 0
@@ -183,6 +186,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
             has_cross_attention=self.has_cross_attention,
             with_ip=self.with_ip,
             time_aware_ip=self.time_aware_ip,
+            attn1_with_ip=self.attn1_with_ip,
             attn1_mode=self.attn1_mode,
             norm_num_groups=self.norm_num_groups,
             lora_rank=self.lora_rank,

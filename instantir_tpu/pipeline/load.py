@@ -187,7 +187,12 @@ def fill_missing_leaves(tree: Dict, shapes: Dict, rng: np.random.Generator) -> D
             elif key not in dst:
                 shape, jdtype = tval.shape, tval.dtype
                 name = str(key)
-                if name == "bias" or "lora_b" in path or "zero_conv" in path:
+                if (
+                    name == "bias" or "lora_b" in path or "zero_conv" in path
+                    # AdaLayerNorm modulation linears are zero-init (identity
+                    # modulation) in the module and the reference processors
+                    or any(str(p).startswith("ln_") for p in path)
+                ):
                     dst[key] = np.zeros(shape, np.float32)
                 elif name == "scale":
                     dst[key] = np.ones(shape, np.float32)

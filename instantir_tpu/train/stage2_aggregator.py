@@ -55,6 +55,7 @@ class Stage2Config:
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
     resolution: int = 512
+    jit_degradation: bool = True  # single-program traced degradation (common.run_degradation)
     image_drop_rate: float = 0.0
     text_drop_rate: float = 0.85
     cond_drop_rate: float = 0.15
@@ -65,6 +66,14 @@ class Stage2Config:
     ema_decay: float = 0.999
     ema_update_steps: int = 1
     importance_sampling: bool = False
+    # Working rebuild of the reference --aggregator_adapter (intended
+    # semantics; the in-tree path is broken — see models/aggregator.py):
+    # the aggregator gets its own Resampler over the image-encoder tokens
+    # and a TA-IP branch on every attn1, both trained with the aggregator.
+    # The projection happens BEFORE the aggregator call (the ordering fix
+    # for train_stage2_aggregator.py:1581).
+    aggregator_adapter: bool = False
+    adapter_tokens: int = 64  # reference --adapter_tokens
     checkpointing_steps: int = 500
     checkpoints_total_limit: Optional[int] = 3
     logging_steps: int = 10
@@ -81,6 +90,8 @@ def stage2_trainable_pred(cfg: Stage2Config):
     def pred(path: Tuple[str, ...]) -> bool:
         if path[0] == "aggregator":
             return True
+        if path[0] == "agg_resampler":  # aggregator_adapter projector trains with the aggregator
+            return True
         if cfg.optimize_adapter:
             return stage1_trainable_pred(path)
         return False
@@ -91,7 +102,81 @@ def stage2_trainable_pred(cfg: Stage2Config):
 ADAPTER_EMA_PRED = lambda path: stage1_trainable_pred(path)  # noqa: E731
 
 
-def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule, losses, cfg: Stage2Config):
+def enable_aggregator_adapter(
+    aggregator,
+    params: Dict[str, Any],
+    encoder_hidden_size: int,
+    cfg: Stage2Config,
+    image_proj_sd: Optional[Dict[str, np.ndarray]] = None,
+    seed: int = 0,
+):
+    """Build the aggregator_adapter surfaces: returns
+    ``(aggregator', params', agg_resampler)``.
+
+    * ``aggregator'`` — the module rebuilt with ``aggregator_adapter=True``
+      (each attn1 grows a TA-IP branch: ``to_k_ip``/``to_v_ip`` +
+      AdaLN ``ln_k_ip``/``ln_v_ip``);
+    * ``params'`` — the aggregator tree extended with those fresh leaves
+      (existing weights untouched) plus ``params["agg_resampler"]``: the
+      aggregator's own Resampler in the reference's configuration
+      (``train_stage2_aggregator.py:922-929``: dim 1280, depth 4, head_dim
+      64, heads 20, num_queries=adapter_tokens, embedding_dim = image
+      encoder hidden size, output_dim = cross_attention_dim), optionally
+      initialized from a pretrained adapter's ``image_proj`` state dict
+      (``init_adapter_in_unet``'s load, ``module/ip_adapter/utils.py:60-61``).
+
+    Deviation from the reference's (broken) intent, documented: the
+    reference seeds ip projections from the host attention's text to_k/to_v
+    (``attention_processor.py:1391-1397``) — on attn2, where input dims
+    match. On attn1 the query_dim-sized to_k cannot seed the
+    cross_attention_dim-sized to_k_ip, so the ip projections start fresh
+    (lecun); AdaLN linears start at identity (zero modulation) either way.
+    """
+    import dataclasses as _dc
+
+    from instantir_tpu.models.resampler import Resampler, ResamplerConfig
+    from instantir_tpu.pipeline.load import fill_missing_leaves
+
+    ucfg = aggregator.config
+    agg = aggregator.clone(aggregator_adapter=True)
+    lat = ucfg.sample_size
+    pooled_dim = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
+    dt = agg.dtype
+    template = jax.eval_shape(
+        lambda k: agg.init(
+            k, jnp.zeros((1, lat, lat, ucfg.in_channels), dt), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, lat, lat, ucfg.in_channels), dt),
+            added_text_embeds=jnp.zeros((1, pooled_dim), dt),
+            added_time_ids=jnp.zeros((1, 6), dt),
+            ip_hidden_states=jnp.zeros((1, cfg.adapter_tokens, ucfg.cross_attention_dim), dt),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    host_rng = np.random.default_rng(seed)
+    agg_tree = fill_missing_leaves(jax.tree_util.tree_map(lambda x: x, params["aggregator"]), template, host_rng)
+
+    rcfg = ResamplerConfig(
+        num_queries=cfg.adapter_tokens,
+        embedding_dim=encoder_hidden_size,
+        output_dim=ucfg.cross_attention_dim,
+    )
+    agg_resampler = Resampler(rcfg, dtype=dt, param_dtype=agg.param_dtype)
+    if image_proj_sd is not None:
+        from instantir_tpu.convert.torch_to_flax import convert_resampler
+
+        res_tree = convert_resampler(image_proj_sd, rcfg)
+    else:
+        res_template = jax.eval_shape(
+            lambda k: agg_resampler.init(k, jnp.zeros((1, 5, encoder_hidden_size), dt)),
+            jax.random.PRNGKey(0),
+        )
+        res_tree = fill_missing_leaves({"params": {}}, res_template, host_rng)
+    new_params = {**params, "aggregator": agg_tree, "agg_resampler": res_tree}
+    return agg, new_params, agg_resampler
+
+
+def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule, losses,
+                      cfg: Stage2Config, agg_resampler=None):
     alpha = cfg.lora_alpha
 
     def loss_fn(trainable, frozen, ema_adapter, batch, key):
@@ -169,7 +254,15 @@ def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule,
         preview_latents = jax.lax.stop_gradient(previewer())
         preview_err = jnp.mean((preview_latents - gt_latent) ** 2)
 
-        # aggregator (grad)
+        # aggregator (grad); with aggregator_adapter the image tokens are
+        # projected through the aggregator's OWN Resampler before the call —
+        # the ordering fix for the reference's post-call image_embeds insert
+        # (train_stage2_aggregator.py:1581) — and consumed by the TA-IP
+        # branch on each attn1. Image-drop applies to these tokens too
+        # (`tokens` already carries the uncond substitution).
+        agg_kwargs = {}
+        if agg_resampler is not None:
+            agg_kwargs["ip_hidden_states"] = agg_resampler.apply(params["agg_resampler"], tokens)
         down_res, mid_res = aggregator.apply(
             params["aggregator"],
             lq_latent,
@@ -177,6 +270,7 @@ def build_stage2_step(unet, aggregator, resampler, vae, image_encoder, schedule,
             controlnet_cond=preview_latents,
             added_text_embeds=cond["pooled_embeds"],
             added_time_ids=cond["time_ids"],
+            **agg_kwargs,
         )
 
         # main UNet (LoRA off, live adapter)
@@ -233,8 +327,19 @@ class Stage2Trainer:
         losses_config: Optional[LossesConfig] = None,
         schedule=None,
         mesh="auto",
+        agg_resampler=None,
     ):
         self.cfg = cfg
+        if cfg.aggregator_adapter:
+            if agg_resampler is None or "agg_resampler" not in params:
+                raise ValueError(
+                    "aggregator_adapter=True needs the aggregator's Resampler module and its "
+                    "params['agg_resampler'] — use enable_aggregator_adapter(...) to build both"
+                )
+            if not getattr(aggregator, "aggregator_adapter", False):
+                raise ValueError("aggregator_adapter=True but the Aggregator module was built "
+                                 "without aggregator_adapter=True")
+        self.agg_resampler = agg_resampler if cfg.aggregator_adapter else None
         self.mesh = common.resolve_mesh(mesh, cfg.train_batch_size)
         self.schedule = schedule or sdxl_schedule()
         losses = build_losses(
@@ -268,7 +373,8 @@ class Stage2Trainer:
         # donated trees need leaf-unique buffers (constant-cache aliasing)
         self.trainable = common.unique_buffers(self.trainable)
         self.opt_state = common.unique_buffers(self.opt_state)
-        raw = build_stage2_step(unet, aggregator, resampler, vae, image_encoder, self.schedule, losses, cfg)
+        raw = build_stage2_step(unet, aggregator, resampler, vae, image_encoder, self.schedule,
+                                losses, cfg, agg_resampler=self.agg_resampler)
 
         def _wrapped(tr, fr, ema, st, b, k):
             new_tr, new_st, metrics = raw(tr, fr, ema, st, self.tx, b, k)
@@ -318,8 +424,9 @@ class Stage2Trainer:
             (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"])),
             self.mesh,
         )
-        lq, gt = self.degradation(
-            key, images, kernels=kernels,
+        lq, gt = common.run_degradation(
+            self.degradation, key, images, kernels,
+            jit_mode=self.cfg.jit_degradation,
             host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
         )
         return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),
