@@ -353,6 +353,12 @@ def main():
     # NEUTRAL-to-slightly-slower here (9.18-9.24 vs 9.0 s staged): JAX's
     # async dispatch already overlaps the staged stages' relay latency, and
     # the mega-program schedules slightly worse (docs/perf.md). Default off.
+    # BENCH_QUANTIZED=1 → W8A8 int8 UNet+Aggregator (opt-in approximation,
+    # ~2× MXU rate on v5e + half the weight HBM; quality table in
+    # docs/perf.md). The default headline stays parity-exact.
+    quantized = os.environ.get("BENCH_QUANTIZED") == "1"
+    if quantized:
+        pipe.quantize()
     shared = os.environ.get("BENCH_SHARED_CFG") == "1"
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     cfg = RestoreConfig(
@@ -364,6 +370,9 @@ def main():
         preview_cfg=not shared,
         controlnet_cfg=not shared,
         fused=fused,
+        # BENCH_VAE_TILING=1 → constant-memory tiled VAE (the ≥2K² mode;
+        # required for the single-chip 2048² probe, docs/perf.md)
+        vae_tiling=os.environ.get("BENCH_VAE_TILING") == "1",
     )
 
     rng = np.random.default_rng(0)
@@ -391,8 +400,9 @@ def main():
     # (BENCH_r02.json rc=124) because opt-in variants compiled for 10-20 min
     # each AFTER the headline was measured but BEFORE anything was printed.
     # Everything below this line is optional detail on stderr.
+    variant = ", int8-W8A8 (opt-in)" if quantized else ""
     result = {
-        "metric": f"images/sec/chip ({res}², {steps}-step InstantIR, CFG 7, preview 0.1, creative 0.7, batch {batch})",
+        "metric": f"images/sec/chip ({res}², {steps}-step InstantIR, CFG 7, preview 0.1, creative 0.7, batch {batch}{variant})",
         "value": round(ips, 4),
         "unit": "images/sec",
         "vs_baseline": round(ips / A100_REF_IMG_PER_SEC, 2),

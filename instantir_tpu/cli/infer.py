@@ -121,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(~0.2 s/image through a dispatch relay); bigger first compile.",
     )
     p.add_argument(
+        "--quantized", action="store_true",
+        help="W8A8 int8 inference on the UNet+Aggregator (per-channel weights, "
+        "dynamic activation quant): ~2× MXU rate and half the weight HBM on "
+        "v5e; slight approximation measured in docs/perf.md. VAE/encoders/"
+        "LoRA stay fp.",
+    )
+    p.add_argument(
         "--deepcache_interval", type=int, default=1,
         help="DeepCache block caching (arXiv 2312.03209): refresh the deep "
         "UNet trunk + previewer + aggregator every N steps, run only the "
@@ -182,6 +189,8 @@ def main(argv: Optional[List[str]] = None):
         previewer_lora_path=args.previewer_lora_path,
         use_clip_encoder=args.use_clip_encoder,
     )
+    if args.quantized:
+        pipe.quantize()
     (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
 
     def encode(prompts: List[str]):
@@ -205,16 +214,19 @@ def main(argv: Optional[List[str]] = None):
     prompt = args.prompt or DEFAULT_PROMPT
     neg = args.neg_prompt or DEFAULT_NEG_PROMPT
     custom_timesteps = None
+    num_steps = args.num_inference_steps
     if args.denoising_start < 1000:
-        # evenly spaced over [offset, denoising_start), descending — the
-        # reference's intended truncated schedule (infer.py:184-188)
-        stride = max(args.denoising_start // args.num_inference_steps, 1)
-        custom_timesteps = tuple(
-            i * stride + 1 for i in range(args.num_inference_steps)
-        )[::-1]
+        # evenly spaced over [steps_offset, denoising_start), descending — the
+        # reference's intended truncated schedule (infer.py:184-188). Fewer
+        # usable levels than requested steps clamps the step count so every
+        # timestep stays strictly below denoising_start.
+        offset = RestoreConfig().steps_offset
+        num_steps = min(num_steps, max(args.denoising_start - offset, 1))
+        stride = max((args.denoising_start - offset) // num_steps, 1)
+        custom_timesteps = tuple(i * stride + offset for i in range(num_steps))[::-1]
     cfg = RestoreConfig(
         timesteps=custom_timesteps,
-        num_inference_steps=args.num_inference_steps,
+        num_inference_steps=num_steps,
         guidance_scale=args.cfg,
         preview_start=args.preview_start,
         control_guidance_end=args.creative_start,

@@ -159,8 +159,13 @@ class CLIPImageEncoder(nn.Module):
     ``image_embeds`` branch (``:654-656``) is live only for plain
     ``ImageProjection`` projectors, which InstantIR never installs.
 
-    Deviation (documented): the 224² resize uses bilinear interpolation (the
+    Deviation (documented): the resize uses bilinear interpolation (the
     shared preprocess) where HF's ``CLIPImageProcessor`` defaults to bicubic.
+
+    The pipeline preprocesses at THIS config's ``image_size`` grid directly
+    (``preprocess_dinov2(..., size=cfg.image_size)``), so a non-224 CLIP
+    tower (e.g. 336px) gets a single direct resize from the source image;
+    the internal resize below is a shape-safety fallback only.
     """
 
     config: CLIPVisionConfig

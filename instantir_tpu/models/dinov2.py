@@ -130,11 +130,15 @@ DINOV2_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
 DINOV2_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
 
-def preprocess_dinov2(images: jnp.ndarray) -> jnp.ndarray:
-    """[B,H,W,3] in [0,1] → resized 224² and ImageNet-normalized."""
+def preprocess_dinov2(images: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """[B,H,W,3] in [0,1] → resized ``size``² and ImageNet-normalized.
+
+    ``size`` is the encoder's native grid (224 for DINOv2-large; a CLIP tower
+    may want 336) — resizing once from the source resolution keeps detail a
+    224² round-trip would destroy."""
     b, h, w, c = images.shape
-    if (h, w) != (224, 224):
-        images = jax.image.resize(images, (b, 224, 224, c), method="bilinear")
+    if (h, w) != (size, size):
+        images = jax.image.resize(images, (b, size, size, c), method="bilinear")
     mean = jnp.asarray(DINOV2_MEAN, images.dtype)
     std = jnp.asarray(DINOV2_STD, images.dtype)
     return (images - mean) / std

@@ -39,7 +39,10 @@ def merge_lora_tree(params, lora_scale: float, lora_alpha: float = 1.0):
     def walk(node):
         if not isinstance(node, dict):
             return node
-        if "base" in node and "lora_a" in node and "lora_b" in node:
+        if (
+            "base" in node and "lora_a" in node and "lora_b" in node
+            and "kernel" in node["base"]  # quantized bases (int8 side tree) can't merge
+        ):
             a = node["lora_a"]["kernel"]
             b = node["lora_b"]["kernel"]
             k = node["base"]["kernel"]
@@ -65,6 +68,80 @@ def _static_zero(lora_scale) -> bool:
     return isinstance(lora_scale, (int, float)) and lora_scale == 0.0
 
 
+class QuantizableDense(nn.Module):
+    """``nn.Dense``-compatible base linear (identical param names, init, and
+    dtype promotion) that computes in int8 when its ``quant`` collection
+    entry is present (``ops/quant.py::quantize_tree`` moves the kernel there
+    as ``{kernel_q, kernel_scale}`` and prunes the fp leaf). W8A8: dynamic
+    per-token activation quant + per-channel weights → the v5e MXU's 2×
+    int8 rate (probe: tools/bench_int8_probe.py)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.has_variable("quant", "kernel_q"):
+            from instantir_tpu.ops.quant import w8a8_dense
+
+            kq = self.get_variable("quant", "kernel_q")
+            ks = self.get_variable("quant", "kernel_scale")
+            y = w8a8_dense(x.astype(self.dtype), kq, ks)
+        else:
+            kernel = self.param(
+                "kernel", self.kernel_init, (jnp.shape(x)[-1], self.features), self.param_dtype
+            )
+            xp, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            y = jax.lax.dot_general(xp, kernel, (((xp.ndim - 1,), (0,)), ((), ())))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+            y = y + jnp.asarray(bias, self.dtype)
+        return y
+
+
+class QuantizableConv(nn.Module):
+    """``nn.Conv``-compatible base NHWC conv (same param names/init), int8
+    when the ``quant`` collection entry is present — see QuantizableDense.
+    ``padding`` must already be normalized (list of pairs or a string)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.has_variable("quant", "kernel_q"):
+            from instantir_tpu.ops.quant import w8a8_conv
+
+            kq = self.get_variable("quant", "kernel_q")
+            ks = self.get_variable("quant", "kernel_scale")
+            y = w8a8_conv(x.astype(self.dtype), kq, ks, self.strides, self.padding)
+        else:
+            kernel = self.param(
+                "kernel",
+                self.kernel_init,
+                tuple(self.kernel_size) + (jnp.shape(x)[-1], self.features),
+                self.param_dtype,
+            )
+            xp, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            y = jax.lax.conv_general_dilated(
+                xp, kernel, self.strides, self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype)
+            y = y + jnp.asarray(bias, self.dtype)
+        return y
+
+
 class LoRADense(nn.Module):
     """Dense with an optional low-rank adapter branch (PEFT semantics)."""
 
@@ -78,7 +155,7 @@ class LoRADense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lora_scale=0.0) -> jnp.ndarray:
-        y = nn.Dense(
+        y = QuantizableDense(
             self.features,
             use_bias=self.use_bias,
             dtype=self.dtype,
@@ -129,7 +206,7 @@ class LoRAConv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
-        y = nn.Conv(
+        y = QuantizableConv(
             self.features,
             self.kernel_size,
             strides=self.strides,

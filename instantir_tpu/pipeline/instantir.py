@@ -332,6 +332,9 @@ class InstantIRPipeline:
         (the demo's set_adapter) is unavailable."""
         import jax
 
+        if "quant" in self.params["unet"]:
+            raise ValueError("freeze_previewer() on a quantized pipeline is unsupported — "
+                             "the int8 base kernels can't absorb a LoRA merge")
         params = self.params["unet"]["params"]
         lora_paths: list = []
 
@@ -382,6 +385,41 @@ class InstantIRPipeline:
             self._prev_unet = replicate_params(self._prev_unet, self.mesh)
         return self
 
+    def quantize(self, min_size: Optional[int] = None):
+        """Inference-only W8A8 quantization of the UNet + Aggregator (opt-in,
+        CLI ``--quantized``): every LoRADense/LoRAConv base kernel ≥
+        ``min_size`` elements moves to an int8 side collection with
+        per-output-channel scales, and the layers compute int8×int8→int32 on
+        the MXU with dynamic per-token (matmul) / per-sample (conv)
+        activation quantization — ~2× the bf16 MXU rate on v5e and half the
+        weight HBM (ops/quant.py; probe: tools/bench_int8_probe.py). The VAE
+        (fp32, quality-critical), encoders, LoRA branches, norms, and the
+        4-channel conv_in/conv_out stay in fp. The previewer-LoRA dynamic
+        branch still works (it adds fp deltas to the int8 base output).
+
+        Approximation is gated like DeepCache: quality measured vs the exact
+        path (tools/bench_quant_quality.py → docs/perf.md). Call BEFORE
+        ``shard`` (the int8 side tree placement follows params placement);
+        incompatible with ``freeze_previewer`` (nothing to merge into)."""
+        from instantir_tpu.ops.quant import quantize_tree
+
+        if self._prev_unet is not None:
+            raise ValueError("quantize() after freeze_previewer() is unsupported — quantize first")
+        if "quant" in self.params["unet"]:
+            return self
+        kw = {} if min_size is None else {"min_size": min_size}
+        self.params = {
+            **self.params,
+            "unet": quantize_tree(self.params["unet"], **kw),
+            "aggregator": quantize_tree(self.params["aggregator"], **kw),
+        }
+        self._sample_fn_cache.clear()
+        if self.mesh is not None:
+            from instantir_tpu.parallel.mesh import replicate_params
+
+            self.params = replicate_params(self.params, self.mesh)
+        return self
+
     def _trace_scopes(self, cfg):
         """Trace-time parallelism scopes for this (mesh, cfg) pair: the ring
         scope when sequence_parallel, the TP-flash shard_map scope when the
@@ -415,7 +453,7 @@ class InstantIRPipeline:
 
         The uncond tokens depend only on the parameters (the zero image is a
         constant), so they are computed once and cached across calls."""
-        pixels = preprocess_dinov2(lq_images)
+        pixels = preprocess_dinov2(lq_images, size=self.image_encoder.config.image_size)
         cond = self._jit_dino(params, pixels)
         uncond_tokens = self._ensure_uncond_tokens(params, pixels.shape[1:], pixels.dtype)
         uncond = jnp.broadcast_to(uncond_tokens, cond.shape)
@@ -891,18 +929,25 @@ class InstantIRPipeline:
             b, h, w, _ = lq_images.shape
             key, k_vae, k_init = jax.random.split(key, 3)
 
-            if tiling is not None:
-                raw_latent = tiled_encode(
-                    vae, params["vae"], lq_images.astype(jnp.float32), rng=k_vae, sample=True,
-                    tile_sample=tiling[0] * vae_scale_factor(vae.config), overlap=tiling[1],
-                )
+            def _enc(img, k):
+                if tiling is not None:
+                    return tiled_encode(
+                        vae, params["vae"], img, rng=k, sample=True,
+                        tile_sample=tiling[0] * vae_scale_factor(vae.config), overlap=tiling[1],
+                    )
+                return vae.apply(params["vae"], img, rng=k, sample=True, method=vae.encode)
+
+            imgs32 = lq_images.astype(jnp.float32)
+            if cfg.vae_slicing and b > 1:
+                # per-sample serialized encode (mirrors encode_vae_image's
+                # slicing path) — batch-independent activation peak
+                enc_keys = jax.random.split(k_vae, b)
+                raw_latent = jax.lax.map(lambda ik: _enc(ik[0][None], ik[1])[0], (imgs32, enc_keys))
             else:
-                raw_latent = vae.apply(
-                    params["vae"], lq_images.astype(jnp.float32), rng=k_vae, sample=True, method=vae.encode
-                )
+                raw_latent = _enc(imgs32, k_vae)
             image_latent = scale_latents(vae.config, raw_latent).astype(prompt_embeds.dtype)
 
-            pixels = preprocess_dinov2((lq_images + 1.0) / 2.0)
+            pixels = preprocess_dinov2((lq_images + 1.0) / 2.0, size=dino.config.image_size)
             dino_cond = dino.apply(params["image_encoder"], pixels)
             if cfg.do_cfg:
                 dino_uncond = jnp.broadcast_to(uncond_tokens, dino_cond.shape)
@@ -967,6 +1012,9 @@ class InstantIRPipeline:
             raise ValueError("sequence_parallel=True requires an attached mesh (pipe.shard(mesh))")
         if seq_par and cfg.fused:
             raise ValueError("sequence_parallel does not compose with cfg.fused")
+        if cfg.fuse_previewer_lora and "quant" in self.params["unet"]:
+            raise ValueError("fuse_previewer_lora can't merge into int8 base kernels — "
+                             "quantized pipelines use the dynamic LoRA branch (the default)")
         lq_images, prompt_embeds, pooled_embeds, negative_prompt_embeds, negative_pooled_embeds, reference_latents = (
             self._shard_inputs(
                 lq_images, prompt_embeds, pooled_embeds, negative_prompt_embeds, negative_pooled_embeds,
@@ -987,7 +1035,8 @@ class InstantIRPipeline:
         if cfg.fused and output_type != "latent":
             # whole-call single program; the staged stages below stay the
             # reference implementation (and serve output_type="latent")
-            uncond_tokens = self._ensure_uncond_tokens(params, (224, 224, 3), lq_images.dtype)
+            enc_size = self.image_encoder.config.image_size
+            uncond_tokens = self._ensure_uncond_tokens(params, (enc_size, enc_size, 3), lq_images.dtype)
             with self._trace_scopes(cfg):
                 image, preview_row = self._fused_restore_fn(cfg)(
                     params, lq_images, prompt_embeds, pooled_embeds,
