@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neg_prompt", type=str, default=None)
     p.add_argument("--save_preview_row", action="store_true")
     p.add_argument(
+        "--watermark", action="store_true",
+        help="embed the standard 48-bit SD invisible watermark in outputs "
+        "(the reference applies this automatically when the optional "
+        "invisible_watermark package is installed; rebuilt DCT-QIM codec, "
+        "utils/watermark.py)",
+    )
+    p.add_argument(
         "--use_clip_encoder", action="store_true",
         help="read --vision_encoder_path as an HF CLIP vision tower instead "
         "of DINOv2 and condition on its penultimate-layer tokens "
@@ -265,7 +272,12 @@ def main(argv: Optional[List[str]] = None):
             lq, pe, pooled, negative_prompt_embeds=npe, negative_pooled_embeds=npooled,
             cfg=cfg, key=jax.random.PRNGKey(args.seed),
         )
-        image = np.asarray((np.clip(np.asarray(image), -1, 1) + 1) * 127.5).astype(np.uint8)
+        image01 = (np.clip(np.asarray(image, np.float32), -1, 1) + 1) / 2.0
+        if args.watermark:
+            from instantir_tpu.utils.watermark import embed_watermark
+
+            image01 = embed_watermark(image01)
+        image = np.asarray(image01 * 255.0).astype(np.uint8)
         for f, im, size in zip(batch_files, image, out_sizes):
             Image.fromarray(im).resize(size, Image.BILINEAR).save(os.path.join(out_dir, f))
         print(f"[infer] wrote {len(batch_files)} images → {out_dir}")
