@@ -19,7 +19,12 @@ from instantir_tpu.models.vae import tiny_vae_config
 from instantir_tpu.pipeline import RestoreConfig
 from instantir_tpu.pipeline.factory import build_pipeline
 
-GOLDEN = {"mean": -3.417892, "std": 13.293141, "absmax": 43.277710}
+# Regenerated after 2e41257 (intentional numerics change: DINOv2/CLIP
+# preprocessing now resizes once to the encoder's NATIVE grid instead of
+# round-tripping through 224² — the tiny encoder's conditioning tokens, and
+# hence the restore trajectory, legitimately change; the production 224-grid
+# encoders are unaffected and remain HF-oracle-locked in test_clip_vision.py).
+GOLDEN = {"mean": 0.999185, "std": 12.076051, "absmax": 44.731358}
 
 
 def test_restore_statistics_locked():
