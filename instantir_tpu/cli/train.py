@@ -74,6 +74,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="blockwise-int8 Adam moment storage (reference --use_8bit_adam / bnb AdamW8bit)",
     )
     p.add_argument(
+        "--quantize_frozen_unet", action="store_true",
+        help="QLoRA storage mode (arXiv 2305.14314): frozen UNet base kernels "
+        "int8, dequantized at use; trained ip/LoRA params stay fp. ~2.6 GB of "
+        "HBM back — with --use_8bit_adam, fits SDXL stage-2 on ONE 16 GB v5e",
+    )
+    p.add_argument(
+        "--prefetch_batches", type=int, default=0,
+        help="host-pipelined batch preparation depth: a worker thread runs "
+        "next(data)+prepare_batch N steps ahead, hiding loader + host->device "
+        "upload behind device compute (0 = sequential; sequences identical)",
+    )
+    p.add_argument(
         "--scale_lr", action="store_true",
         help="scale lr by gradient_accumulation_steps x global batch "
         "(reference train_stage1_adapter.py:817-820)",
@@ -322,6 +334,8 @@ def main(argv=None):
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         learning_rate=args.learning_rate,
         use_8bit_adam=args.use_8bit_adam,
+        quantize_frozen_unet=args.quantize_frozen_unet,
+        prefetch_batches=args.prefetch_batches,
         validation_steps=args.validation_steps,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,

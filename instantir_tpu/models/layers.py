@@ -90,6 +90,19 @@ class QuantizableDense(nn.Module):
             kq = self.get_variable("quant", "kernel_q")
             ks = self.get_variable("quant", "kernel_scale")
             y = w8a8_dense(x.astype(self.dtype), kq, ks)
+        elif self.has_variable("quant", "kernel_qw"):
+            # weight-only W8 (QLoRA storage mode, ops/quant.py): int8 kernel
+            # dequantized to the compute dtype, ordinary matmul — exactly
+            # differentiable w.r.t. x (training through a frozen net)
+            from instantir_tpu.ops.quant import dequantize_weight
+
+            kernel = dequantize_weight(
+                self.get_variable("quant", "kernel_qw"),
+                self.get_variable("quant", "kernel_scale"),
+                self.dtype,
+            )
+            xp = x.astype(self.dtype)
+            y = jax.lax.dot_general(xp, kernel, (((xp.ndim - 1,), (0,)), ((), ())))
         else:
             kernel = self.param(
                 "kernel", self.kernel_init, (jnp.shape(x)[-1], self.features), self.param_dtype
@@ -124,6 +137,18 @@ class QuantizableConv(nn.Module):
             kq = self.get_variable("quant", "kernel_q")
             ks = self.get_variable("quant", "kernel_scale")
             y = w8a8_conv(x.astype(self.dtype), kq, ks, self.strides, self.padding)
+        elif self.has_variable("quant", "kernel_qw"):
+            from instantir_tpu.ops.quant import dequantize_weight
+
+            kernel = dequantize_weight(
+                self.get_variable("quant", "kernel_qw"),
+                self.get_variable("quant", "kernel_scale"),
+                self.dtype,
+            )
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel, self.strides, self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         else:
             kernel = self.param(
                 "kernel",

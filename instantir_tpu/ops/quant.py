@@ -17,10 +17,19 @@ operands with ``preferred_element_type=int32`` (measured on this chip:
     ``{kernel_q: int8, kernel_scale: f32[out]}``. The bf16 kernel leaf is
     REMOVED (halving weight HBM); the layers in ``models/layers.py`` route
     through the int8 ops when their ``quant`` entries are present.
+  * ``weight_only=True`` (W8, stored as ``kernel_qw``) — the QLoRA recipe
+    (arXiv 2305.14314: frozen base quantized, adapters in fp) for the
+    TRAINING side: the kernel is stored int8 but dequantized to the compute
+    dtype at use, so the op stays an ordinary bf16 matmul/conv that is
+    exactly differentiable w.r.t. its activations (gradients flow THROUGH a
+    frozen quantized net to upstream trainable modules — the stage-2
+    aggregator — where W8A8's activation rounding would kill them). No MXU
+    rate win, purely a 2× weight-HBM cut: it is what makes single-chip
+    SDXL-scale stage-2 fit a 16 GB v5e at all (docs/perf.md round 4).
 
-The reference has no quantized inference (torch fp16 throughout); this is a
-TPU-native extension, gated exactly like DeepCache: opt-in flag + measured
-PSNR-vs-exact + measured s/img (docs/perf.md).
+The reference has no quantized inference (torch fp16 throughout) and needs
+80 GB GPUs for stage-2; both modes are TPU-native extensions, gated exactly
+like DeepCache: opt-in flag + measured quality delta (docs/perf.md).
 """
 
 from __future__ import annotations
@@ -43,6 +52,13 @@ def quantize_weight(k: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     kq = jnp.clip(jnp.round(kf / scale), -127.0, 127.0).astype(jnp.int8)
     return kq, scale
+
+
+def dequantize_weight(kq: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """int8 kernel [..., out] × f32 [out] → dense kernel in ``dtype`` (the
+    weight-only W8 compute path; XLA fuses this into the consumer where it
+    can, otherwise it is one transient kernel-sized temp per use)."""
+    return (kq.astype(jnp.float32) * scale).astype(dtype)
 
 
 def _quant_act(x: jnp.ndarray, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -87,7 +103,10 @@ def w8a8_conv(
 
 
 def quantize_tree(
-    variables: Dict[str, Any], min_size: int = DEFAULT_MIN_SIZE
+    variables: Dict[str, Any],
+    min_size: int | None = None,
+    weight_only: bool = False,
+    exclude=None,
 ) -> Dict[str, Any]:
     """{"params": tree} → {"params": pruned tree, "quant": int8 side tree}.
 
@@ -95,10 +114,22 @@ def quantize_tree(
     hot matmul/conv in the UNet and Aggregator routes through them); LoRA
     branches, norms, time embeddings, and sub-``min_size`` kernels stay in
     fp. Idempotent on already-quantized trees (merges into existing quant
-    entries is NOT supported — quantize once, from the fp tree)."""
-    quant: Dict[str, Any] = {}
+    entries is NOT supported — quantize once, from the fp tree).
 
-    def walk(node, qnode):
+    ``weight_only=True`` stores the kernel as ``kernel_qw`` instead: the
+    layers then dequantize to the compute dtype and run the ordinary fp op
+    (differentiable QLoRA storage mode, module docstring). ``exclude`` is an
+    optional path predicate (tuple of keys, ``base`` excluded) — trainers
+    pass it to keep kernels that are TRAINED (e.g. the ip projections when
+    ``optimize_adapter`` is on) out of the int8 tree. ``min_size=None``
+    resolves to ``DEFAULT_MIN_SIZE`` at call time (tests lower the module
+    constant to exercise the paths at tiny scale)."""
+    if min_size is None:
+        min_size = DEFAULT_MIN_SIZE
+    quant: Dict[str, Any] = {}
+    q_key = "kernel_qw" if weight_only else "kernel_q"
+
+    def walk(node, qnode, path):
         if not isinstance(node, dict):
             return node
         out = {}
@@ -110,22 +141,23 @@ def quantize_tree(
                 and hasattr(child["kernel"], "ndim")
                 and child["kernel"].ndim in (2, 4)
                 and child["kernel"].size >= min_size
+                and not (exclude is not None and exclude(path))
             ):
                 kq, ks = quantize_weight(child["kernel"])
-                qnode[key] = {"kernel_q": kq, "kernel_scale": ks}
+                qnode[key] = {q_key: kq, "kernel_scale": ks}
                 rest = {k: v for k, v in child.items() if k != "kernel"}
                 if rest:
                     out[key] = rest
             elif isinstance(child, dict):
                 sub_q: Dict[str, Any] = {}
-                out[key] = walk(child, sub_q)
+                out[key] = walk(child, sub_q, path + (key,))
                 if sub_q:
                     qnode[key] = sub_q
             else:
                 out[key] = child
         return out
 
-    pruned = walk(variables["params"], quant)
+    pruned = walk(variables["params"], quant, ())
     result = {k: v for k, v in variables.items() if k != "params"}
     result["params"] = pruned
     if quant:

@@ -3,9 +3,14 @@
 
 Adam's fp32 moments dominate optimizer memory (2×4 bytes/param — ~8 GB for
 the ~1B-param aggregator). This transformation stores both moments as int8
-with per-block fp32 absmax scales (bitsandbytes' blockwise linear mode;
-block=256 → 1 byte/elem + 4/256 bytes of scale ≈ 1.02 bytes, an ~7.9×
-moment-memory reduction), dequantizing/requantizing inside the jitted update.
+with per-block fp32 absmax scales (bitsandbytes' blockwise linear mode and
+its published block size 2048 — "8-bit Optimizers via Block-wise
+Quantization", arXiv 2110.02861 §2; 1 byte/elem + 4/2048 bytes of scale, an
+~8× moment-memory reduction), dequantizing/requantizing inside the jitted
+update. The block size matters at the margin: fp32 scales at block 256 cost
+31 MB on the ~1B-param stage-2 aggregator — the exact 25 MB by which the
+single-chip 512² stage-2 step first missed the 16 GB HBM budget
+(docs/perf.md round 4).
 Everything is static-shape, fully vectorized, and composes with
 ``optax.chain``/``masked``/``MultiSteps`` like any GradientTransformation.
 
@@ -27,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-BLOCK = 256
+BLOCK = 2048
 
 
 def _quantize(x: jnp.ndarray):

@@ -162,6 +162,74 @@ def run_degradation(degradation, key, images, kernels, *, jit_mode: bool, host_r
     return degradation(key, images, kernels=kernels, host_rng=host_rng)
 
 
+def pipelined_batches(trainer, data_iter, cond, key, max_steps: int, depth: int):
+    """Host-pipelined batch preparation (opt-in ``prefetch_batches=N``).
+
+    A single worker thread runs the per-step HOST path ahead of the train
+    loop: ``next(data_iter)`` (loader + recipe host work), caption-cond
+    encoding, and ``prepare_batch`` (host→device upload + the jitted
+    degradation dispatch). With depth N, the host work and upload of batch
+    n+k overlap the device's execution of step n — on a remote-relay TPU the
+    upload alone is ~12 MB/batch of blocking host time (docs/perf.md round
+    4); the device-side degradation program still serializes with the train
+    step on a single chip, as it must.
+
+    Determinism: the worker advances its own ``(key → k_deg, k_step)`` split
+    chain and passes the explicit step index into ``prepare_batch``, so the
+    produced (recipe, noise, step-key) sequence is IDENTICAL to the
+    sequential loop's (tests/test_prefetch.py pins equality). On early exit
+    (preemption, validation abort) up to ``depth`` look-ahead items from
+    ``data_iter`` are consumed and discarded — acceptable for stream-style
+    training data.
+
+    Yields ``(batch, k_step)`` pairs; the caller keeps running its own
+    step/log/checkpoint bookkeeping. JAX dispatch is thread-safe; the worker
+    holds no trainer mutable state (it reads ``prepare_batch`` explicitly
+    parameterized by step).
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    start_step = trainer.global_step
+
+    def work():
+        k = key
+        step = start_step
+        try:
+            while step < max_steps and not stop.is_set():
+                k, k_deg, k_step = jax.random.split(k, 3)
+                host_batch = next(data_iter)
+                batch_cond = cond(host_batch) if callable(cond) else cond
+                item = (trainer.prepare_batch(host_batch, batch_cond, k_deg, step=step), k_step)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                step += 1
+            q.put(None)
+        except StopIteration:
+            q.put(None)  # data exhausted: end the loop, don't crash it
+        except BaseException as e:  # surface worker failures in the consumer
+            q.put(e)
+
+    worker = threading.Thread(target=work, daemon=True, name="batch-prefetch")
+    worker.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def shard_opt_or_keep(tree: Any, mesh, zero1: bool = True) -> Any:
     """Optimizer-state placement: ZeRO-1 sharded over ``data`` (default) or
     replicated. The reference has no equivalent (accelerate DDP replicates
@@ -255,6 +323,33 @@ def lr_schedule(
     # by the reference trainers
     warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
     return optax.join_schedules([warmup, main], [warmup_steps])
+
+
+def quantize_frozen_unet(params: Dict, keep_pred: Optional[Callable] = None) -> Dict:
+    """QLoRA-style weight-only int8 storage for the FROZEN UNet during
+    training (arXiv 2305.14314: quantized frozen base, fp adapters): every
+    frozen LoRA-base kernel moves to an int8 ``quant`` side tree
+    (``kernel_qw``) that the layers dequantize at use — an ordinary bf16 op,
+    exactly differentiable w.r.t. activations, so gradients still flow
+    through the frozen UNet to whatever trains upstream (the stage-2
+    aggregator). Cuts the 5.15 GB bf16 UNet to ~2.6 GB — the difference
+    between single-chip SDXL-scale stage-2 OOMing by ~0.5 GB and fitting
+    (docs/perf.md round 4). ``keep_pred`` (a trainable-path predicate over
+    full ``("unet", ...)`` paths) keeps TRAINED kernels — the ip
+    projections — out of the int8 tree; the EMA-adapter partition therefore
+    still sees only fp leaves.
+
+    HBM note: this returns NEW trees; the replaced bf16 base kernels only
+    free once the CALLER's reference to the input tree drops. Scripts that
+    build params and hand them to a trainer must ``del`` their own reference
+    afterwards, or both copies stay resident (~9.5 GB + int8 copy → OOM on a
+    16 GB chip; tools/bench_train_step.py)."""
+    from instantir_tpu.ops.quant import quantize_tree
+
+    exclude = None
+    if keep_pred is not None:
+        exclude = lambda path: keep_pred(("unet",) + tuple(path))  # noqa: E731
+    return {**params, "unet": quantize_tree(params["unet"], weight_only=True, exclude=exclude)}
 
 
 def make_adamw(

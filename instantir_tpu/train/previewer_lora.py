@@ -58,7 +58,15 @@ class PreviewerConfig:
     lr_warmup_steps: int = 100
     weight_decay: float = 1e-2
     use_8bit_adam: bool = False  # blockwise-int8 Adam moments (bnb AdamW8bit)
+    # QLoRA storage mode: frozen base kernels int8, LoRA branches fp — the
+    # literal QLoRA configuration (LoRA distillation over a quantized base).
+    quantize_frozen_unet: bool = False
     max_grad_norm: float = 1.0
+    # host-pipelined batch preparation: a worker thread runs next(data)+
+    # prepare_batch N steps ahead of the train loop, hiding the host-side
+    # batch cost (loader + host->device upload) behind device compute.
+    # 0 = sequential (default; exact-equal sequences either way, tested).
+    prefetch_batches: int = 0
     gradient_accumulation_steps: int = 1
     resolution: int = 512
     jit_degradation: bool = True  # single-program traced degradation (common.run_degradation)
@@ -249,6 +257,9 @@ class PreviewerTrainer:
         mesh="auto",
     ):
         self.cfg = cfg
+        if cfg.quantize_frozen_unet:
+            # every base kernel is frozen here (only "lora_" paths train)
+            params = common.quantize_frozen_unet(params)
         self.mesh = common.resolve_mesh(mesh, cfg.train_batch_size)
         self.schedule = schedule or sdxl_schedule()
         losses = build_losses(
@@ -324,7 +335,7 @@ class PreviewerTrainer:
             self._uncond_tok = fn(params["image_encoder"])
         return self._uncond_tok
 
-    def prepare_batch(self, batch, cond, key):
+    def prepare_batch(self, batch, cond, key, step=None):
         images = common.shard_or_keep(jnp.asarray(batch["images"]), self.mesh)
         kernels = common.shard_or_keep(
             (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"])),
@@ -333,7 +344,9 @@ class PreviewerTrainer:
         lq, gt = common.run_degradation(
             self.degradation, key, images, kernels,
             jit_mode=self.cfg.jit_degradation,
-            host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
+            host_rng=np.random.default_rng(
+                self.cfg.seed * 7919 + (self.global_step if step is None else step)
+            ),
         )
         return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),
                 **common.shard_or_keep(dict(cond), self.mesh)}
@@ -364,14 +377,29 @@ class PreviewerTrainer:
         if cfg.handle_preemption:
             common.install_preemption_handler()
         key = jax.random.PRNGKey(cfg.seed)
+        # opt-in host pipelining: a worker thread prepares batches ahead
+        # (identical RNG/recipe sequence — common.pipelined_batches)
+        source = (
+            common.pipelined_batches(
+                self, data_iter, cond, key, cfg.max_train_steps, cfg.prefetch_batches
+            )
+            if cfg.prefetch_batches > 0
+            else None
+        )
         tic = time.time()
         while self.global_step < cfg.max_train_steps:
-            key, k_deg, k_step = jax.random.split(key, 3)
-            host_batch = next(data_iter)
-            # per-sample captions: a callable cond encodes the batch's caption
-            # column each step (reference utils/train_utils.py:190-237)
-            batch_cond = cond(host_batch) if callable(cond) else cond
-            batch = self.prepare_batch(host_batch, batch_cond, k_deg)
+            if source is not None:
+                try:
+                    batch, k_step = next(source)
+                except StopIteration:
+                    break
+            else:
+                key, k_deg, k_step = jax.random.split(key, 3)
+                host_batch = next(data_iter)
+                # per-sample captions: a callable cond encodes the batch's
+                # caption column each step (reference utils/train_utils.py:190-237)
+                batch_cond = cond(host_batch) if callable(cond) else cond
+                batch = self.prepare_batch(host_batch, batch_cond, k_deg)
             metrics = self.train_step(batch, k_step)
             if cfg.sanity_check:
                 print("[previewer] sanity check PASS", {k: float(v) for k, v in metrics.items()})

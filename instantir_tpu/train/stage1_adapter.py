@@ -47,7 +47,16 @@ class Stage1Config:
     lr_warmup_steps: int = 100
     weight_decay: float = 1e-2
     use_8bit_adam: bool = False  # blockwise-int8 Adam moments (bnb AdamW8bit)
+    # QLoRA storage mode (common.quantize_frozen_unet): frozen UNet base
+    # kernels int8, dequantized at use; the trained ip projections stay fp.
+    # ~2.6 GB of HBM back → larger single-chip batches (docs/perf.md r4).
+    quantize_frozen_unet: bool = False
     max_grad_norm: float = 1.0
+    # host-pipelined batch preparation: a worker thread runs next(data)+
+    # prepare_batch N steps ahead of the train loop, hiding the host-side
+    # batch cost (loader + host->device upload) behind device compute.
+    # 0 = sequential (default; exact-equal sequences either way, tested).
+    prefetch_batches: int = 0
     gradient_accumulation_steps: int = 1
     resolution: int = 512
     jit_degradation: bool = True  # single-program traced degradation (common.run_degradation)
@@ -162,6 +171,9 @@ class Stage1Trainer:
         mesh="auto",
     ):
         self.cfg = cfg
+        if cfg.quantize_frozen_unet:
+            # trained ip projections stay fp (they ARE the stage-1 artifact)
+            params = common.quantize_frozen_unet(params, keep_pred=stage1_trainable_pred)
         # Data parallelism is the trainers' own default path (VERDICT r1 #2):
         # params/opt-state replicated, batches sharded on the mesh's ``data``
         # axis, gradient all-reduce inserted by XLA — the TPU-native
@@ -229,7 +241,7 @@ class Stage1Trainer:
             self._uncond_tok = fn(params["image_encoder"])
         return self._uncond_tok
 
-    def prepare_batch(self, batch: Dict[str, np.ndarray], cond: Dict[str, jnp.ndarray], key) -> Dict:
+    def prepare_batch(self, batch: Dict[str, np.ndarray], cond: Dict[str, jnp.ndarray], key, step=None) -> Dict:
         # shard inputs along the batch axis BEFORE the on-device degradation,
         # so the degradation itself runs data-parallel
         images = common.shard_or_keep(jnp.asarray(batch["images"]), self.mesh)
@@ -240,7 +252,9 @@ class Stage1Trainer:
         lq, gt = common.run_degradation(
             self.degradation, key, images, kernels,
             jit_mode=self.cfg.jit_degradation,
-            host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
+            host_rng=np.random.default_rng(
+                self.cfg.seed * 7919 + (self.global_step if step is None else step)
+            ),
         )
         return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),
                 **common.shard_or_keep(dict(cond), self.mesh)}
@@ -256,14 +270,29 @@ class Stage1Trainer:
         if cfg.handle_preemption:
             common.install_preemption_handler()
         key = jax.random.PRNGKey(cfg.seed)
+        # opt-in host pipelining: a worker thread prepares batches ahead
+        # (identical RNG/recipe sequence — common.pipelined_batches)
+        source = (
+            common.pipelined_batches(
+                self, data_iter, cond, key, cfg.max_train_steps, cfg.prefetch_batches
+            )
+            if cfg.prefetch_batches > 0
+            else None
+        )
         tic = time.time()
         while self.global_step < cfg.max_train_steps:
-            key, k_deg, k_step = jax.random.split(key, 3)
-            host_batch = next(data_iter)
-            # per-sample captions: a callable cond encodes the batch's caption
-            # column each step (reference utils/train_utils.py:190-237)
-            batch_cond = cond(host_batch) if callable(cond) else cond
-            batch = self.prepare_batch(host_batch, batch_cond, k_deg)
+            if source is not None:
+                try:
+                    batch, k_step = next(source)
+                except StopIteration:
+                    break
+            else:
+                key, k_deg, k_step = jax.random.split(key, 3)
+                host_batch = next(data_iter)
+                # per-sample captions: a callable cond encodes the batch's
+                # caption column each step (reference utils/train_utils.py:190-237)
+                batch_cond = cond(host_batch) if callable(cond) else cond
+                batch = self.prepare_batch(host_batch, batch_cond, k_deg)
             if cfg.sanity_check:
                 print("[stage1] sanity check: one batch prepared", {k: v.shape for k, v in batch.items()})
                 metrics = self.train_step(batch, k_step)

@@ -52,7 +52,18 @@ class Stage2Config:
     lr_warmup_steps: int = 100
     weight_decay: float = 1e-2
     use_8bit_adam: bool = False  # blockwise-int8 Adam moments (bnb AdamW8bit)
+    # QLoRA storage mode (common.quantize_frozen_unet): frozen UNet base
+    # kernels stored int8, dequantized at use — ~2.6 GB of HBM back; with
+    # use_8bit_adam this is what fits SDXL-scale stage-2 on ONE 16 GB v5e
+    # (exact-bf16 OOMs by ~0.5 GB at 512² batch 1 — docs/perf.md round 4).
+    # The ip projections stay fp (they are EMA-tracked / optionally trained).
+    quantize_frozen_unet: bool = False
     max_grad_norm: float = 1.0
+    # host-pipelined batch preparation: a worker thread runs next(data)+
+    # prepare_batch N steps ahead of the train loop, hiding the host-side
+    # batch cost (loader + host->device upload) behind device compute.
+    # 0 = sequential (default; exact-equal sequences either way, tested).
+    prefetch_batches: int = 0
     gradient_accumulation_steps: int = 1
     resolution: int = 512
     jit_degradation: bool = True  # single-program traced degradation (common.run_degradation)
@@ -340,6 +351,10 @@ class Stage2Trainer:
                 raise ValueError("aggregator_adapter=True but the Aggregator module was built "
                                  "without aggregator_adapter=True")
         self.agg_resampler = agg_resampler if cfg.aggregator_adapter else None
+        if cfg.quantize_frozen_unet:
+            # adapter (ip) kernels stay fp: they feed the EMA partition and
+            # may train under --optimize_adapter
+            params = common.quantize_frozen_unet(params, keep_pred=stage1_trainable_pred)
         self.mesh = common.resolve_mesh(mesh, cfg.train_batch_size)
         self.schedule = schedule or sdxl_schedule()
         losses = build_losses(
@@ -418,7 +433,7 @@ class Stage2Trainer:
             self._uncond_tok = fn(params["image_encoder"])
         return self._uncond_tok
 
-    def prepare_batch(self, batch, cond, key):
+    def prepare_batch(self, batch, cond, key, step=None):
         images = common.shard_or_keep(jnp.asarray(batch["images"]), self.mesh)
         kernels = common.shard_or_keep(
             (jnp.asarray(batch["kernel"]), jnp.asarray(batch["kernel2"]), jnp.asarray(batch["sinc_kernel"])),
@@ -427,7 +442,9 @@ class Stage2Trainer:
         lq, gt = common.run_degradation(
             self.degradation, key, images, kernels,
             jit_mode=self.cfg.jit_degradation,
-            host_rng=np.random.default_rng(self.cfg.seed * 7919 + self.global_step),
+            host_rng=np.random.default_rng(
+                self.cfg.seed * 7919 + (self.global_step if step is None else step)
+            ),
         )
         return {"lq": lq, "gt": gt, "uncond_tokens": self._uncond_image_tokens(),
                 **common.shard_or_keep(dict(cond), self.mesh)}
@@ -449,14 +466,29 @@ class Stage2Trainer:
         if cfg.handle_preemption:
             common.install_preemption_handler()
         key = jax.random.PRNGKey(cfg.seed)
+        # opt-in host pipelining: a worker thread prepares batches ahead
+        # (identical RNG/recipe sequence — common.pipelined_batches)
+        source = (
+            common.pipelined_batches(
+                self, data_iter, cond, key, cfg.max_train_steps, cfg.prefetch_batches
+            )
+            if cfg.prefetch_batches > 0
+            else None
+        )
         tic = time.time()
         while self.global_step < cfg.max_train_steps:
-            key, k_deg, k_step = jax.random.split(key, 3)
-            host_batch = next(data_iter)
-            # per-sample captions: a callable cond encodes the batch's caption
-            # column each step (reference utils/train_utils.py:190-237)
-            batch_cond = cond(host_batch) if callable(cond) else cond
-            batch = self.prepare_batch(host_batch, batch_cond, k_deg)
+            if source is not None:
+                try:
+                    batch, k_step = next(source)
+                except StopIteration:
+                    break
+            else:
+                key, k_deg, k_step = jax.random.split(key, 3)
+                host_batch = next(data_iter)
+                # per-sample captions: a callable cond encodes the batch's
+                # caption column each step (reference utils/train_utils.py:190-237)
+                batch_cond = cond(host_batch) if callable(cond) else cond
+                batch = self.prepare_batch(host_batch, batch_cond, k_deg)
             metrics = self.train_step(batch, k_step)
             if cfg.sanity_check:
                 print("[stage2] sanity check PASS", {k: float(v) for k, v in metrics.items()})

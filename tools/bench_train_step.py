@@ -49,6 +49,10 @@ STAGE = os.environ.get("BENCH_TRAIN_STAGE", "stage1")
 RES = int(os.environ.get("BENCH_TRAIN_RES", "512"))
 BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "4" if STAGE != "stage2" else "1"))
 TIMED_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", "3"))
+# QLoRA storage mode (--quantize_frozen_unet): int8 frozen UNet base kernels.
+# Required for the single-chip stage-2 row — exact bf16 misses 16 GB HBM by
+# ~0.5 GB at 512² batch 1 even with 8-bit Adam (docs/perf.md round 4).
+QUANT_FROZEN = os.environ.get("BENCH_TRAIN_QUANT_FROZEN", "1" if STAGE == "stage2" else "0") == "1"
 
 
 def build_train_models(dtype=jnp.bfloat16):
@@ -106,7 +110,36 @@ def main():
     from instantir_tpu.data.dataset import SyntheticImageDataset
 
     unet, aggregator, vae, resampler, dino = build_train_models()
+    def memstat(tag):
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            print(f"[mem] {tag}: in_use={ms.get('bytes_in_use', 0)/2**30:.2f} GiB "
+                  f"peak={ms.get('peak_bytes_in_use', 0)/2**30:.2f} GiB",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # memory_stats is backend-optional
+            print(f"[mem] {tag}: unavailable ({e})", file=sys.stderr, flush=True)
+
     params = synth_all(unet, aggregator, vae, resampler, dino, with_aggregator=STAGE == "stage2")
+    memstat("after synth")
+    if QUANT_FROZEN and STAGE == "stage2":
+        # Quantize HERE, not via the trainer flag: the trainer's in-constructor
+        # transform cannot free the original tree (this caller's argument
+        # reference keeps it alive through the constructor's allocation peak —
+        # CPython holds call arguments on the caller's stack until return; two
+        # resident trees OOMed the 16 GB chip, /tmp/train_s2q*.err). Quantize
+        # first, then explicitly drop the old dict so the replaced bf16 base
+        # kernels free before any optimizer/copy allocation. The trainer
+        # consumes the pre-quantized tree as-is (partition routes the `quant`
+        # collection into `frozen`; the layers dequantize at use).
+        from instantir_tpu.train.common import quantize_frozen_unet
+        from instantir_tpu.train.stage1_adapter import stage1_trainable_pred
+
+        q = quantize_frozen_unet(params, keep_pred=stage1_trainable_pred)
+        params.clear()  # last reference to the pruned-away fp kernels
+        params.update(q)
+        del q
+        memstat("after weight-only quantize")
+    make_params = lambda: params  # noqa: E731
 
     if STAGE == "stage1":
         from instantir_tpu.train.stage1_adapter import Stage1Config, Stage1Trainer
@@ -117,22 +150,29 @@ def main():
         cfg = Stage1Config(output_dir=None, max_train_steps=100, train_batch_size=BATCH,
                            resolution=RES, lr_warmup_steps=0, importance_sampling=True,
                            use_8bit_adam=True)
-        trainer = Stage1Trainer(unet, resampler, vae, dino, params, cfg)
+        trainer = Stage1Trainer(unet, resampler, vae, dino, make_params(), cfg)
     elif STAGE == "previewer":
         from instantir_tpu.train.previewer_lora import PreviewerConfig, PreviewerTrainer
 
         cfg = PreviewerConfig(output_dir=None, max_train_steps=100, train_batch_size=BATCH,
                               resolution=RES, lr_warmup_steps=0)
-        trainer = PreviewerTrainer(unet, resampler, vae, dino, params, cfg)
+        trainer = PreviewerTrainer(unet, resampler, vae, dino, make_params(), cfg)
     elif STAGE == "stage2":
         from instantir_tpu.train.stage2_aggregator import Stage2Config, Stage2Trainer
 
         cfg = Stage2Config(output_dir=None, max_train_steps=100, train_batch_size=BATCH,
                            resolution=RES, lr_warmup_steps=0,
                            use_ema_adapter=False, use_8bit_adam=True)
-        trainer = Stage2Trainer(unet, aggregator, resampler, vae, dino, params, cfg)
+        trainer = Stage2Trainer(unet, aggregator, resampler, vae, dino, make_params(), cfg)
     else:
         raise SystemExit(f"unknown BENCH_TRAIN_STAGE={STAGE!r}")
+
+    # Drop the bench's own tree reference: frozen leaves are SHARED into the
+    # trainer (stay alive), but the TRAINABLE leaves were copied by
+    # unique_buffers — the originals (the full ~2 GB aggregator in stage 2)
+    # are dead weight the 16 GB chip cannot spare.
+    params.clear()
+    memstat("after params.clear")
 
     # loader images at gt_size: the reference crops to `resolution` BEFORE the
     # degradation (utils/train_utils.py:124-151), so ori == gt_size and the
@@ -157,9 +197,11 @@ def main():
         t2 = time.time()
         return t1 - t0, t2 - t1, loss
 
+    memstat("after trainer construction")
     t0 = time.time()
     _, _, loss0 = one_step(0)
     compile_s = time.time() - t0
+    memstat("after first step")
 
     prep_times, step_times = [], []
     for i in range(TIMED_STEPS):
@@ -168,8 +210,49 @@ def main():
         step_times.append(s)
     times = [p + s for p, s in zip(prep_times, step_times)]
     dt = min(times)
+
+    # Steady-state RUN-LOOP throughput, sequential vs host-pipelined
+    # (prefetch_batches / common.pipelined_batches): the per-phase split
+    # above forces a sync after prepare, which hides exactly the overlap the
+    # prefetcher buys. Here the only sync is the final loss fetch — the real
+    # run-loop cadence (trainers fetch metrics at logging_steps only).
+    def run_loop(depth: int, k: int) -> float:
+        from instantir_tpu.train import common as _common
+
+        target = trainer.global_step + k
+        metrics = None
+        t0 = time.time()
+        if depth > 0:
+            src = _common.pipelined_batches(
+                trainer, data, cond, jax.random.PRNGKey(123 + depth), target, depth)
+            for batch, k_step in src:
+                metrics = trainer.train_step(batch, k_step)
+                if trainer.global_step >= target:
+                    break
+        else:
+            key = jax.random.PRNGKey(123)
+            while trainer.global_step < target:
+                key, k_deg, k_step = jax.random.split(key, 3)
+                batch = trainer.prepare_batch(next(data), cond, k_deg)
+                metrics = trainer.train_step(batch, k_step)
+        assert np.isfinite(float(metrics["loss"]))  # forced sync ends the clock
+        return (time.time() - t0) / k
+
+    loop_fields = {}
+    if os.environ.get("BENCH_TRAIN_PIPELINED", "1") == "1":
+        k = int(os.environ.get("BENCH_TRAIN_LOOP_STEPS", "6"))
+        seq = run_loop(0, k)
+        pipe_ = run_loop(2, k)
+        loop_fields = {
+            "loop_sequential_s_per_step": round(seq, 3),
+            "loop_pipelined_s_per_step": round(pipe_, 3),
+            "loop_pipelined_img_per_s": round(BATCH / pipe_, 3),
+            "prefetch_depth": 2,
+        }
+
     print(json.dumps({
-        "metric": f"{STAGE} train step, {RES}², batch {BATCH} (SDXL scale, grad-ckpt, 1 chip)",
+        "metric": f"{STAGE} train step, {RES}², batch {BATCH} (SDXL scale, grad-ckpt, 1 chip"
+                  + (", int8-frozen-unet" if QUANT_FROZEN and STAGE == "stage2" else "") + ")",
         "value": round(BATCH / dt, 3),
         "unit": "images/sec",
         "sec_per_step": round(dt, 3),
@@ -178,6 +261,7 @@ def main():
         "first_step_s": round(compile_s, 1),
         "first_loss": round(loss0, 4),
         "times": [round(t, 3) for t in times],
+        **loop_fields,
     }), flush=True)
 
 
