@@ -310,6 +310,15 @@ def main():
     if config == "sharded":
         print(json.dumps(bench_sharded()))
         return
+    if config == "serve":
+        # end-to-end serving: microbatched RestoreServer over resolution
+        # buckets, p50/p95 from the server's own /metrics quantile window
+        # (tools/bench_serve.py; serve table in docs/perf.md round 4)
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import bench_serve
+
+        bench_serve.main()
+        return
 
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
@@ -356,9 +365,14 @@ def main():
     # BENCH_QUANTIZED=1 → W8A8 int8 UNet+Aggregator (opt-in approximation,
     # ~2× MXU rate on v5e + half the weight HBM; quality table in
     # docs/perf.md). The default headline stays parity-exact.
-    quantized = os.environ.get("BENCH_QUANTIZED") == "1"
+    # BENCH_QUANTIZED=1|w8a8 → W8A8 (measured SLOWER end-to-end at 1024²:
+    # 16.0 vs 9.2 s/img — the negative result, docs/perf.md round 4);
+    # BENCH_QUANTIZED=w8 → weight-only int8 (kernels dequantized at use):
+    # exact-quality-class, half the weight HBM — the batch-2 enabler.
+    qmode = os.environ.get("BENCH_QUANTIZED", "")
+    quantized = qmode in ("1", "w8a8", "w8")
     if quantized:
-        pipe.quantize()
+        pipe.quantize(weight_only=qmode == "w8")
     shared = os.environ.get("BENCH_SHARED_CFG") == "1"
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     cfg = RestoreConfig(
@@ -400,7 +414,9 @@ def main():
     # (BENCH_r02.json rc=124) because opt-in variants compiled for 10-20 min
     # each AFTER the headline was measured but BEFORE anything was printed.
     # Everything below this line is optional detail on stderr.
-    variant = ", int8-W8A8 (opt-in)" if quantized else ""
+    variant = ""
+    if quantized:
+        variant = ", int8-W8 weight-only (opt-in)" if qmode == "w8" else ", int8-W8A8 (opt-in)"
     result = {
         "metric": f"images/sec/chip ({res}², {steps}-step InstantIR, CFG 7, preview 0.1, creative 0.7, batch {batch}{variant})",
         "value": round(ips, 4),

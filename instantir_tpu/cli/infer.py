@@ -128,11 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(~0.2 s/image through a dispatch relay); bigger first compile.",
     )
     p.add_argument(
-        "--quantized", action="store_true",
-        help="W8A8 int8 inference on the UNet+Aggregator (per-channel weights, "
-        "dynamic activation quant): ~2× MXU rate and half the weight HBM on "
-        "v5e; slight approximation measured in docs/perf.md. VAE/encoders/"
-        "LoRA stay fp.",
+        "--quantized", nargs="?", const="w8a8", default=None, choices=("w8a8", "w8"),
+        help="int8 inference on the UNet+Aggregator: 'w8a8' (dynamic "
+        "activation quant — measured SLOWER end-to-end at 1024² than exact, "
+        "kept as the recorded negative) or 'w8' (weight-only: kernels "
+        "dequantized at use — exact-quality-class, half the weight HBM, the "
+        "batch-2 enabler). Tables in docs/perf.md. VAE/encoders/LoRA stay fp.",
     )
     p.add_argument(
         "--deepcache_interval", type=int, default=1,
@@ -197,7 +198,7 @@ def main(argv: Optional[List[str]] = None):
         use_clip_encoder=args.use_clip_encoder,
     )
     if args.quantized:
-        pipe.quantize()
+        pipe.quantize(weight_only=args.quantized == "w8")
     (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
 
     def encode(prompts: List[str]):

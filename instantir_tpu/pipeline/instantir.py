@@ -385,29 +385,43 @@ class InstantIRPipeline:
             self._prev_unet = replicate_params(self._prev_unet, self.mesh)
         return self
 
-    def quantize(self, min_size: Optional[int] = None):
-        """Inference-only W8A8 quantization of the UNet + Aggregator (opt-in,
+    def quantize(self, min_size: Optional[int] = None, weight_only: bool = False):
+        """Inference-only int8 quantization of the UNet + Aggregator (opt-in,
         CLI ``--quantized``): every LoRADense/LoRAConv base kernel ≥
         ``min_size`` elements moves to an int8 side collection with
-        per-output-channel scales, and the layers compute int8×int8→int32 on
-        the MXU with dynamic per-token (matmul) / per-sample (conv)
-        activation quantization — ~2× the bf16 MXU rate on v5e and half the
-        weight HBM (ops/quant.py; probe: tools/bench_int8_probe.py). The VAE
-        (fp32, quality-critical), encoders, LoRA branches, norms, and the
-        4-channel conv_in/conv_out stay in fp. The previewer-LoRA dynamic
-        branch still works (it adds fp deltas to the int8 base output).
+        per-output-channel scales. Two modes (ops/quant.py):
 
-        Approximation is gated like DeepCache: quality measured vs the exact
-        path (tools/bench_quant_quality.py → docs/perf.md). Call BEFORE
-        ``shard`` (the int8 side tree placement follows params placement);
-        incompatible with ``freeze_previewer`` (nothing to merge into)."""
+        * ``weight_only=False`` (W8A8, CLI ``--quantized w8a8``): the layers
+          compute int8×int8→int32 on the MXU with dynamic per-token (matmul)
+          / per-sample (conv) activation quantization. The isolated-matmul
+          probe shows ~2× the bf16 MXU rate (tools/bench_int8_probe.py), but
+          measured END-TO-END at the 1024² headline the full recipe is
+          SLOWER than exact (16.0 vs 9.2 s/img, PSNR 31.6 dB — the dynamic
+          activation-quant reductions are VPU/HBM-bound and break XLA's
+          fusions; docs/perf.md round 4). Kept as the measured negative.
+        * ``weight_only=True`` (W8, CLI ``--quantized w8``): kernels stored
+          int8 and dequantized to the compute dtype at use — the ordinary fp
+          op runs on the MXU, quality stays at weight-rounding level, and
+          the weight HBM halves, which is what buys batch 2 per chip at
+          1024² (throughput mode, docs/perf.md round 4).
+
+        The VAE (fp32, quality-critical), encoders, LoRA branches, norms,
+        and the 4-channel conv_in/conv_out stay in fp in both modes; the
+        previewer-LoRA dynamic branch still works (it adds fp deltas to the
+        base output). Approximation is gated like DeepCache: quality
+        measured vs the exact path (tools/bench_quant_quality.py →
+        docs/perf.md). Call BEFORE ``shard`` (the int8 side tree placement
+        follows params placement); incompatible with ``freeze_previewer``
+        (nothing to merge into)."""
         from instantir_tpu.ops.quant import quantize_tree
 
         if self._prev_unet is not None:
             raise ValueError("quantize() after freeze_previewer() is unsupported — quantize first")
         if "quant" in self.params["unet"]:
             return self
-        kw = {} if min_size is None else {"min_size": min_size}
+        kw = {"weight_only": weight_only}
+        if min_size is not None:
+            kw["min_size"] = min_size
         self.params = {
             **self.params,
             "unet": quantize_tree(self.params["unet"], **kw),

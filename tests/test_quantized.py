@@ -172,3 +172,42 @@ def test_quantized_guards(pipelines):
     cfg = RestoreConfig(num_inference_steps=2, fuse_previewer_lora=True)
     with pytest.raises(ValueError, match="int8 base kernels"):
         quant.restore(lq, pe, pp, cfg=cfg)
+
+
+def test_weight_only_restore_closer_than_w8a8(pipelines, rng):
+    """``pipe.quantize(weight_only=True)`` (W8, CLI ``--quantized w8``): the
+    kernels are stored int8 but the op runs in fp on the dequantized kernel —
+    no activation rounding, so the restore should track the exact trajectory
+    at least as closely as W8A8's. This is the batch-2 throughput mode
+    (half the weight HBM at exact-quality-class — docs/perf.md round 4)."""
+    from instantir_tpu.pipeline.factory import build_pipeline as _bp
+
+    exact, quant = pipelines
+    w8 = _bp(
+        exact.unet.config, tiny_vae_config(),
+        tiny_resampler_config(output_dim=exact.unet.config.cross_attention_dim, lora_rank=2),
+        tiny_dinov2_config(), jax.random.PRNGKey(0), image_size=32,
+    ).quantize(min_size=256, weight_only=True)
+    # structure: only kernel_qw entries, never kernel_q
+    leaves = [k for k, _ in jax.tree_util.tree_flatten_with_path(w8.params["unet"]["quant"])[0]]
+    names = {p[-1].key for p in leaves}
+    assert "kernel_qw" in names and "kernel_q" not in names
+
+    lq = jnp.asarray(rng.uniform(-1, 1, size=(1, 32, 32, 3)), jnp.float32)
+    cross = exact.unet.config.cross_attention_dim
+    pooled_dim = (exact.unet.config.projection_class_embeddings_input_dim
+                  - exact.unet.config.addition_time_embed_dim * 6)
+    pe = jnp.asarray(rng.normal(size=(1, 7, cross)), jnp.float32)
+    pp = jnp.asarray(rng.normal(size=(1, pooled_dim)), jnp.float32)
+    cfg = RestoreConfig(num_inference_steps=4, guidance_scale=7.0,
+                        preview_start=0.25, control_guidance_end=0.75)
+    key = jax.random.PRNGKey(3)
+    ref, _ = exact.restore(lq, pe, pp, cfg=cfg, key=key, output_type="latent")
+    outw, _ = w8.restore(lq, pe, pp, cfg=cfg, key=key, output_type="latent")
+    outa, _ = quant.restore(lq, pe, pp, cfg=cfg, key=key, output_type="latent")
+    ref, outw, outa = np.asarray(ref), np.asarray(outw), np.asarray(outa)
+    assert np.isfinite(outw).all()
+    corr_w8 = np.corrcoef(ref.ravel(), outw.ravel())[0, 1]
+    corr_a8 = np.corrcoef(ref.ravel(), outa.ravel())[0, 1]
+    assert corr_w8 > 0.95, corr_w8
+    assert corr_w8 >= corr_a8 - 0.01, (corr_w8, corr_a8)
