@@ -51,6 +51,12 @@ class ServeConfig:
     # bucket's step cost. One program per bucket, all compiled at warmup —
     # still a fixed, finite program set (the static-shape serving rule).
     resolutions: Tuple[int, ...] = ()
+    # per-bucket device batch sizes, matched to sorted(resolutions). Larger
+    # batches on small buckets keep the MXU fed where activations are cheap;
+    # the big bucket can stay at the HBM-limited batch (at 1024² one 16 GB
+    # v5e fits batch 1 with the 9.5 GB weight set — docs/perf.md). Empty →
+    # every bucket uses ``batch_size``.
+    batch_sizes: Tuple[int, ...] = ()
     num_inference_steps: int = 30
     guidance_scale: float = 7.0
     preview_start: float = 0.1
@@ -106,6 +112,15 @@ class RestoreServer:
         # iteration removes exactly one — tokens ≥ pending requests, so an
         # empty notify queue proves every bucket queue is drained)
         self.buckets: Tuple[int, ...] = tuple(sorted(set(cfg.resolutions))) or (cfg.resolution,)
+        if cfg.batch_sizes:
+            if len(cfg.batch_sizes) != len(self.buckets):
+                raise ValueError(
+                    f"batch_sizes {cfg.batch_sizes} must match the {len(self.buckets)} "
+                    f"resolution bucket(s) {self.buckets} (sorted ascending)"
+                )
+            self._bucket_batch: Dict[int, int] = dict(zip(self.buckets, cfg.batch_sizes))
+        else:
+            self._bucket_batch = {r: cfg.batch_size for r in self.buckets}
         self._queues: Dict[int, "queue.Queue[_Request]"] = {r: queue.Queue() for r in self.buckets}
         self._notify: "queue.Queue[int]" = queue.Queue()
         self._stop = threading.Event()
@@ -174,7 +189,7 @@ class RestoreServer:
                     out_size=(r, r),
                     bucket=r,
                 )
-                for _ in range(self.cfg.batch_size)
+                for _ in range(self._bucket_batch[r])
             ]
             self._execute(reqs)
 
@@ -243,7 +258,7 @@ class RestoreServer:
                 continue  # stale token: its request left in an earlier batch
             batch = [first]
             deadline = self.cfg.batch_wait_ms / 1000.0
-            while len(batch) < self.cfg.batch_size:
+            while len(batch) < self._bucket_batch[bucket]:
                 try:
                     batch.append(self._queues[bucket].get(timeout=deadline))
                 except queue.Empty:
@@ -274,7 +289,7 @@ class RestoreServer:
 
         from PIL import Image
 
-        n, full = len(batch), self.cfg.batch_size
+        n, full = len(batch), self._bucket_batch[batch[0].bucket]
         pad = full - n
         images = np.stack([r.image for r in batch] + [batch[-1].image] * pad)
         pe, pooled = self._embeds([r.prompt for r in batch] + [batch[-1].prompt] * pad)
@@ -323,6 +338,7 @@ class RestoreServer:
             "batch_size": self.cfg.batch_size,
             "resolution": self.cfg.resolution,
             "buckets": list(self.buckets),
+            "bucket_batch_sizes": [self._bucket_batch[r] for r in self.buckets],
             "request_latency_seconds": self._quantiles(self._request_latencies),
             "batch_seconds": self._quantiles(self._batch_seconds),
         }
@@ -438,6 +454,10 @@ def main(argv: Optional[List[str]] = None):
                    "each request routes to the smallest bucket covering it, so "
                    "small inputs skip the big bucket's step cost; one program "
                    "per bucket, all compiled at warmup")
+    p.add_argument("--batch_sizes", type=str, default=None,
+                   help="comma-separated per-bucket device batch sizes, matched "
+                   "to the sorted --resolutions (e.g. 4,1 with 512,1024: batch-4 "
+                   "on the cheap 512 bucket, HBM-limited batch-1 at 1024)")
     p.add_argument("--num_inference_steps", type=int, default=30)
     p.add_argument("--cfg", type=float, default=7.0)
     p.add_argument("--preview_start", type=float, default=0.1)
@@ -446,6 +466,12 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--deepcache_interval", type=int, default=1,
                    help="DeepCache block caching: refresh cadence (1 = exact)")
     p.add_argument("--deepcache_depth", type=int, default=1)
+    p.add_argument("--quantized", nargs="?", const="w8a8", default=None,
+                   choices=("w8a8", "w8"),
+                   help="int8 UNet+Aggregator: 'w8a8' (dynamic activation "
+                   "quant — measured slower end-to-end than exact at 1024², "
+                   "recorded negative) or 'w8' (weight-only, half the weight "
+                   "HBM → bigger per-bucket batches; docs/perf.md)")
     p.add_argument("--mesh", action="store_true",
                    help="shard the serve batch over all local devices (batch_size "
                    "must divide by the device count)")
@@ -466,6 +492,8 @@ def main(argv: Optional[List[str]] = None):
         adapter_path=args.adapter_model_path,
         previewer_lora_path=args.previewer_lora_path,
     )
+    if args.quantized:
+        pipe.quantize(weight_only=args.quantized == "w8")
     if args.mesh:
         from instantir_tpu.parallel.mesh import make_mesh
 
@@ -481,6 +509,7 @@ def main(argv: Optional[List[str]] = None):
         batch_size=args.batch_size, batch_wait_ms=args.batch_wait_ms,
         resolution=args.resolution,
         resolutions=tuple(int(r) for r in args.resolutions.split(",")) if args.resolutions else (),
+        batch_sizes=tuple(int(b) for b in args.batch_sizes.split(",")) if args.batch_sizes else (),
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.cfg, preview_start=args.preview_start,
         creative_start=args.creative_start, shared_cfg=args.shared_cfg,

@@ -233,3 +233,46 @@ def test_resolution_buckets(server):
         assert srv.requests_served == 2 and srv.batches_run == 2  # distinct buckets
     finally:
         srv.drain()
+
+
+def test_per_bucket_batch_sizes(server):
+    """Per-bucket device batches (ServeConfig.batch_sizes): the small bucket
+    runs a larger microbatch than the HBM-limited big bucket — each bucket's
+    program pads to ITS batch size, and concurrent small-bucket requests
+    still share one device batch."""
+    srv = RestoreServer(
+        server.pipe, server.encode_fn,
+        ServeConfig(batch_wait_ms=200.0, resolution=RES,
+                    resolutions=(16, RES), batch_sizes=(2, 1),
+                    num_inference_steps=2, preview_start=0.0, creative_start=1.0),
+    ).start(warmup=True)
+    try:
+        assert srv._bucket_batch == {16: 2, RES: 1}
+        assert srv.stats()["bucket_batch_sizes"] == [2, 1]
+        # two concurrent small-bucket requests coalesce into ONE batch-2 run
+        results = [None, None]
+
+        def client(i):
+            results[i] = srv.submit(np.zeros((10, 12, 3), np.uint8), prompt=f"p{i}")
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r is not None and r.shape == (10, 12, 3) for r in results)
+        assert srv.batches_run == 1 and srv.requests_served == 2
+        # the big bucket executes alone at its batch size of 1
+        out = srv.submit(np.zeros((RES, RES, 3), np.uint8), prompt="big")
+        assert out.shape == (RES, RES, 3)
+        assert srv.batches_run == 2
+    finally:
+        srv.drain()
+
+    # mismatched lengths are rejected up front
+    with pytest.raises(ValueError):
+        RestoreServer(
+            server.pipe, server.encode_fn,
+            ServeConfig(resolutions=(16, RES), batch_sizes=(2,),
+                        num_inference_steps=2),
+        )

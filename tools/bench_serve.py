@@ -9,8 +9,11 @@ latency (queue wait + batch wait + device), per-batch device seconds, and
 throughput. Also reports the bucket-routing win: the same 512² image served
 through the 512 bucket vs forced through the 1024 bucket.
 
-Env: BENCH_SERVE_BATCH (4), BENCH_SERVE_STEPS (30), BENCH_SERVE_REQS (16),
-BENCH_SERVE_CLIENTS (8), BENCH_SERVE_BUCKETS ("512,1024").
+Env: BENCH_SERVE_BATCHES ("4,1" — per-bucket device batch, matched to the
+sorted buckets; at 1024² one 16 GB v5e fits batch 1 next to the 9.5 GB
+weight set, the 512² bucket runs batch 4), BENCH_SERVE_STEPS (30),
+BENCH_SERVE_REQS (16), BENCH_SERVE_CLIENTS (8),
+BENCH_SERVE_BUCKETS ("512,1024").
 Usage:  python tools/bench_serve.py       (ambient TPU env; 2 bucket compiles)
 """
 
@@ -38,11 +41,12 @@ def main():
     from instantir_tpu.cli.serve import RestoreServer, ServeConfig
     from instantir_tpu.pipeline.instantir import InstantIRPipeline
 
-    batch = int(os.environ.get("BENCH_SERVE_BATCH", "4"))
     steps = int(os.environ.get("BENCH_SERVE_STEPS", "30"))
     n_reqs = int(os.environ.get("BENCH_SERVE_REQS", "16"))
     n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "8"))
-    buckets = tuple(int(r) for r in os.environ.get("BENCH_SERVE_BUCKETS", "512,1024").split(","))
+    buckets = tuple(sorted(int(r) for r in os.environ.get("BENCH_SERVE_BUCKETS", "512,1024").split(",")))
+    batch_sizes = tuple(int(b) for b in os.environ.get("BENCH_SERVE_BATCHES", "4,1").split(","))
+    assert len(batch_sizes) == len(buckets), "BENCH_SERVE_BATCHES must match BENCH_SERVE_BUCKETS"
 
     key = jax.random.PRNGKey(0)
     unet, aggregator, vae, resampler, dino, schedule = build_models()
@@ -72,8 +76,8 @@ def main():
         b = len(prompts)
         return (jnp.tile(embed_const[0], (b, 1, 1)), jnp.tile(embed_const[1], (b, 1)))
 
-    cfg = ServeConfig(batch_size=batch, resolutions=buckets, num_inference_steps=steps,
-                      batch_wait_ms=50.0)
+    cfg = ServeConfig(resolutions=buckets, batch_sizes=batch_sizes,
+                      num_inference_steps=steps, batch_wait_ms=50.0)
     server = RestoreServer(pipe, encode_fn, cfg)
     t0 = time.time()
     server.start(warmup=True)
@@ -115,7 +119,8 @@ def main():
     t0 = time.time()
     server.submit(small, timeout=1200)
     small_via_512 = time.time() - t0
-    big_cfg = ServeConfig(batch_size=batch, resolution=max(buckets), num_inference_steps=steps)
+    big_cfg = ServeConfig(batch_size=batch_sizes[-1], resolution=max(buckets),
+                          num_inference_steps=steps)
     server2 = RestoreServer(pipe, encode_fn, big_cfg)
     server2.start(warmup=True)  # programs already in the persistent cache
     t0 = time.time()
@@ -125,7 +130,7 @@ def main():
     server.drain()
 
     print(json.dumps({
-        "batch": batch, "steps": steps, "buckets": list(buckets),
+        "batch_sizes": list(batch_sizes), "steps": steps, "buckets": list(buckets),
         "requests": n_reqs, "clients": n_clients, "errors": errors,
         "warmup_s": round(warmup_s, 1),
         "throughput_img_per_s": round(stats["requests_served"] / wall, 4),
