@@ -348,6 +348,11 @@ def main():
     jax.block_until_ready(params)
 
     pipe = InstantIRPipeline(unet, aggregator, vae, resampler, dino, schedule, params)
+    # Drop this frame's tree reference: pipe owns it, and quantize() below
+    # REPLACES pipe.params — a caller-held binding keeps the full fp tree
+    # alive next to the quantized copy for the whole run (the
+    # caller-held-duplicate OOM, docs/perf.md round 4; batch-2 W8 hit it).
+    del params
     # NOTE: freeze_previewer (merged-LoRA preview, ~20 ms/step) does NOT fit
     # at 1024² on one 16 GB v5e: base+merged arguments are 13.7 GB and the
     # sampler needs ~2.3 GB of temps (incl. ~0.65 GB XLA fragmentation).
