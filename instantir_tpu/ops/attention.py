@@ -115,19 +115,22 @@ def attention_xla(
 
 _LOG2E = 1.4426950408889634
 
+# Dispatch threshold between the two kernel structures (measured, round 5):
+# the RESIDENT kernels keep the full K/V (or Q) block in VMEM with the
+# softmax state in registers — fastest at the InstantIR operating points
+# (S4096: 81 vs 67 TF/s for the streamed form; S8192: parity at ~74-75) but
+# capped by the 16 MB scoped-VMEM budget somewhere between 16K and 32K
+# tokens (the 2048² H-concat wall, docs/perf.md round 4). The STREAMED
+# kernels walk K/V (or Q) blocks through the grid's innermost sequential
+# dimension with the accumulators in VMEM scratch — O(block) scoped VMEM at
+# ANY sequence. Dispatch is static per shape: resident at ≤8192 (the proven
+# regime), streamed beyond (unbounded sequence support).
+RESIDENT_MAX_SEQ = 8192
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int):
-    # The kernel is VPU(softmax)-bound, not MXU-bound (the d=64 heads leave
-    # the matmuls cheap relative to the exp/max/sum passes over the [bq, bk]
-    # score tile), so every full-tile VPU pass counts:
-    #   * scale·log2e is folded into the q block ONCE ([bq, d], trivial) so
-    #     the per-tile scale multiply disappears and exp becomes a bare exp2
-    #     (the hardware exponential; exp(x) = exp2(x·log2e));
-    #   * matmul inputs stay in their native dtype (bf16 in production) with
-    #     fp32 MXU accumulation — the XLA reference path's exact semantics;
-    #   * large k-blocks (default min(kv, 4096)) minimize the per-iteration
-    #     rescale/bookkeeping passes.
-    # Measured: 1.31→1.12 ms at S=4096 and 5.78→4.5 ms at S=8192 (docs/perf.md).
+
+def _flash_kernel_resident(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_len: int):
+    """Resident-K/V forward: softmax state carried in registers through a
+    fori sweep over K/V already resident in VMEM (see RESIDENT_MAX_SEQ)."""
     q = q_ref[0]  # [block_q, d]
     block_q, d = q.shape
     num_kv = kv_len // block_k
@@ -143,7 +146,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_
         v = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k] fp32, log2-domain logits
+        )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp2(s - m_new)
         alpha = jnp.exp2(m - m_new)
@@ -155,6 +158,57 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, kv_
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float):
+    # The kernel is VPU(softmax)-bound, not MXU-bound (the d=64 heads leave
+    # the matmuls cheap relative to the exp/max/sum passes over the [bq, bk]
+    # score tile), so every full-tile VPU pass counts:
+    #   * scale·log2e is folded into the q block ONCE ([bq, d], trivial) so
+    #     the per-tile scale multiply disappears and exp becomes a bare exp2
+    #     (the hardware exponential; exp(x) = exp2(x·log2e));
+    #   * matmul inputs stay in their native dtype (bf16 in production) with
+    #     fp32 MXU accumulation — the XLA reference path's exact semantics;
+    #   * large k-blocks (default min(kv, 4096)) minimize the per-iteration
+    #     rescale/bookkeeping passes.
+    # Measured: 1.31→1.12 ms at S=4096 and 5.78→4.5 ms at S=8192 (docs/perf.md).
+    #
+    # K/V STREAM through the grid's innermost dimension (round 5): each
+    # program sees ONE [block_k, d] K/V block while the fp32 running
+    # (max, sum, acc) state lives in VMEM scratch that persists across the
+    # sequential kv grid steps — scoped VMEM is O(block_k), not O(S), so the
+    # sequence length is unbounded (the resident-K/V design hit the 16 MB
+    # scoped-vmem wall at the 32K-token 2048² H-concat attention;
+    # docs/perf.md round 4). Mosaic double-buffers the K/V block DMAs across
+    # grid steps, so streaming adds no stalls at the measured block sizes.
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [block_q, d]
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    k = k_ref[0]  # [block_k, d]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_k] fp32, log2-domain logits
+    m = m_ref[...]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
 def _pick_block(n: int, preferred: int) -> int:
@@ -176,12 +230,16 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Blocked online-softmax attention. q/k/v: [B, S, H, D] → [B, Sq, H, D].
 
-    K/V for one (batch, head) stay resident in VMEM (≤ 8192×128×2B = 2 MB);
-    the grid walks query blocks so each program is one [block_q, d] tile of
-    output with fp32 running max/sum accumulators. Large k-blocks measured
-    fastest at the InstantIR sequence lengths (the kernel is softmax-bound;
-    fewer iterations = fewer rescale passes): the [256, 4096] fp32 score
-    tile costs 4 MB of VMEM, well inside the ~16 MB budget with K/V resident.
+    Hybrid dispatch (static per shape, see RESIDENT_MAX_SEQ): at the
+    InstantIR operating points (≤8192 tokens) K/V stay VMEM-resident with
+    register-carried softmax state — the fastest measured form. Beyond that
+    the K/V blocks STREAM through the grid's innermost sequential dimension
+    with the fp32 running max/sum/acc state in VMEM scratch — scoped VMEM
+    becomes O(block), independent of sequence length, removing the 16 MB
+    scoped-vmem wall the 2048² 32K-token H-concat probe hit (docs/perf.md
+    rounds 4-5). Large k-blocks measured fastest at these lengths (the
+    kernel is softmax-bound; fewer blocks = fewer rescale passes): the
+    [256, 4096] fp32 score tile costs 4 MB of VMEM.
     """
     b, sq, h, d = q.shape
     kv_len = k.shape[1]
@@ -195,26 +253,53 @@ def flash_attention(
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
 
-    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k, kv_len=kv_len)
+    if kv_len <= RESIDENT_MAX_SEQ:
+        kernel = functools.partial(
+            _flash_kernel_resident, scale=scale, block_k=block_k, kv_len=kv_len)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * h, sq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(_flash_kernel, scale=scale)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h, sq // block_q),
+        # kv blocks stream through the innermost (sequential) grid dim; the
+        # q/o blocks' index maps ignore it, so they stay VMEM-resident
+        # across the whole kv sweep while scratch carries the softmax state
+        grid=(b * h, sq // block_q, kv_len // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
-def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int, kv_len: int):
-    """Forward that also writes the per-row logsumexp (needed by the backward
-    to reconstruct P without a second online softmax)."""
-    q = q_ref[0]  # log2-domain trick + native-dtype matmuls, see _flash_kernel
+def _flash_fwd_lse_kernel_resident(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int, kv_len: int):
+    """Resident-K/V forward with logsumexp output (see RESIDENT_MAX_SEQ)."""
+    q = q_ref[0]
     block_q, d = q.shape
     num_kv = kv_len // block_k
     q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
@@ -239,25 +324,55 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, 
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m, l, acc))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    # lse is stored in the log2 domain (lse2 = log2 Σ exp2(s2) with s2 =
-    # scale·log2e·s); the backward kernels reconstruct p = exp2(s2 − lse2).
-    lse_ref[0] = m + jnp.log2(l)  # [block_q, 1]
+    # log2-domain lse (see the streamed kernel's note)
+    lse_ref[0] = m + jnp.log2(l)
 
 
-def _flash_bwd_dq_kernel(
+def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale: float):
+    """Forward that also writes the per-row logsumexp (needed by the backward
+    to reconstruct P without a second online softmax). Same K/V-streaming
+    grid + scratch-carry structure as ``_flash_kernel``."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # log2-domain trick + native-dtype matmuls, see _flash_kernel
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    m = m_ref[...]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        # lse is stored in the log2 domain (lse2 = log2 Σ exp2(s2) with s2 =
+        # scale·log2e·s); the backward kernels reconstruct p = exp2(s2 − lse2).
+        lse_ref[0] = m_ref[...] + jnp.log2(l_ref[...])  # [block_q, 1]
+
+
+def _flash_bwd_dq_kernel_resident(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale: float, block_k: int, kv_len: int
 ):
-    """dQ_i = scale · Σ_j [P_ij ∘ (dO_i·V_jᵀ − D_i)] K_j  (FlashAttention-2)."""
-    # Same VPU-pass economies as the forward: scale·log2e folded into the q
-    # block, p reconstructed with a bare exp2 from the log2-domain lse,
-    # native-dtype matmul inputs with fp32 accumulation; P/dS are rounded to
-    # the K/V dtype before their matmuls, matching the XLA einsum autodiff.
+    """Resident-K/V dQ (see RESIDENT_MAX_SEQ)."""
     q = q_ref[0]
     do = do_ref[0]
     block_q, d = q.shape
     q2 = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
-    lse = lse_ref[0]  # [block_q, 1], log2 domain
-    delta = delta_ref[0]  # [block_q, 1]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
     num_kv = kv_len // block_k
 
     def body(j, acc):
@@ -275,11 +390,11 @@ def _flash_bwd_dq_kernel(
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(
+def _flash_bwd_dkv_kernel_resident(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale: float, block_q: int, q_len: int
 ):
-    """dV_j = Σ_i P_ijᵀ dO_i ;  dK_j = scale · Σ_i [P ∘ (dP − D)]ᵀ_ij Q_i."""
-    k = k_ref[0]  # native dtype; log2-domain p (see _flash_bwd_dq_kernel)
+    """Resident-Q dK/dV (see RESIDENT_MAX_SEQ)."""
+    k = k_ref[0]
     v = v_ref[0]
     block_k, d = k.shape
     k2 = (k.astype(jnp.float32) * (scale * _LOG2E)).astype(k.dtype)
@@ -289,9 +404,8 @@ def _flash_bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :]
         do = do_ref[0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, :, pl.ds(i * block_q, block_q)]  # [1, block_q], log2 domain
-        delta = delta_ref[0, :, pl.ds(i * block_q, block_q)]  # [1, block_q]
-        # s_t[j, i] = scale·log2e · k_j · q_i
+        lse = lse_ref[0, :, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, :, pl.ds(i * block_q, block_q)]
         s_t = jax.lax.dot_general(k2, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         p_t = jnp.exp2(s_t - lse)
         dv = dv + jax.lax.dot_general(
@@ -311,6 +425,82 @@ def _flash_bwd_dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *, scale: float
+):
+    """dQ_i = scale · Σ_j [P_ij ∘ (dO_i·V_jᵀ − D_i)] K_j  (FlashAttention-2)."""
+    # Same VPU-pass economies as the forward: scale·log2e folded into the q
+    # block, p reconstructed with a bare exp2 from the log2-domain lse,
+    # native-dtype matmul inputs with fp32 accumulation; P/dS are rounded to
+    # the K/V dtype before their matmuls, matching the XLA einsum autodiff.
+    # K/V stream through the innermost grid dim with the dq accumulator in
+    # scratch — O(block_k) scoped VMEM at any sequence (see _flash_kernel).
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    q2 = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    lse = lse_ref[0]  # [block_q, 1], log2 domain
+    delta = delta_ref[0]  # [block_q, 1]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp2(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(k.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _finalize():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float
+):
+    """dV_j = Σ_i P_ijᵀ dO_i ;  dK_j = scale · Σ_i [P ∘ (dP − D)]ᵀ_ij Q_i.
+
+    Q/dO/lse/delta stream through the innermost grid dim (the K/V block and
+    the dk/dv scratch accumulators stay resident) — the mirror image of the
+    dq kernel's K/V streaming, O(block_q) scoped VMEM at any q length."""
+    qq = pl.program_id(2)
+
+    @pl.when(qq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0]  # native dtype; log2-domain p (see _flash_bwd_dq_kernel)
+    v = v_ref[0]
+    k2 = (k.astype(jnp.float32) * (scale * _LOG2E)).astype(k.dtype)
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # [1, block_q], log2 domain
+    delta = delta_ref[0]  # [1, block_q]
+    # s_t[j, i] = scale·log2e · k_j · q_i
+    s_t = jax.lax.dot_general(k2, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p_t = jnp.exp2(s_t - lse)
+    dv_acc[...] += jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds_t = (p_t * (dp_t - delta)).astype(q.dtype)
+    dk_acc[...] += jax.lax.dot_general(
+        ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qq == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def _flash_forward_lse(q, k, v, scale, block_q=256, block_k=4096, interpret=False):
     """Like ``flash_attention`` but also returns the logsumexp rows
@@ -324,24 +514,55 @@ def _flash_forward_lse(q, k, v, scale, block_q=256, block_k=4096, interpret=Fals
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, kv_len, d)
 
-    kernel = functools.partial(_flash_fwd_lse_kernel, scale=scale, block_k=block_k, kv_len=kv_len)
+    if kv_len <= RESIDENT_MAX_SEQ:
+        kernel = functools.partial(
+            _flash_fwd_lse_kernel_resident, scale=scale, block_k=block_k, kv_len=kv_len)
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=(b * h, sq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+                jax.ShapeDtypeStruct((b * h, sq, 1), jnp.float32),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3), lse
+
+    kernel = functools.partial(_flash_fwd_lse_kernel, scale=scale)
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b * h, sq // block_q),
+        grid=(b * h, sq // block_q, kv_len // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
             # trailing singleton keeps the block's last-two dims Mosaic-legal
             # ((block_q, 1): block_q | 8, 1 == array dim)
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
     )(qf, kf, vf)
@@ -370,44 +591,105 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q=512, block_k=1024, interp
     # [B·H, 1, Sq] view so neither kernel transposes internally.
     delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
 
-    dq_kernel = functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k, kv_len=kv_len)
+    if max(kv_len, sq) <= RESIDENT_MAX_SEQ:
+        dq_kernel = functools.partial(
+            _flash_bwd_dq_kernel_resident, scale=scale, block_k=block_k, kv_len=kv_len)
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=(b * h, sq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf, gf, lse, delta)
+
+        lse_t = lse.reshape(b * h, 1, sq)
+        delta_t = delta.reshape(b * h, 1, sq)
+        dkv_kernel = functools.partial(
+            _flash_bwd_dkv_kernel_resident, scale=scale, block_q=block_q, q_len=sq)
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=(b * h, kv_len // block_k),
+            in_specs=[
+                pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * h, kv_len, d), k.dtype),
+                jax.ShapeDtypeStruct((b * h, kv_len, d), v.dtype),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, gf, lse_t, delta_t)
+
+        def unfold_r(x):
+            return x.reshape(b, h, x.shape[1], d).transpose(0, 2, 1, 3)
+
+        return unfold_r(dq), unfold_r(dk), unfold_r(dv)
+
+    dq_kernel = functools.partial(_flash_bwd_dq_kernel, scale=scale)
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(b * h, sq // block_q),
+        grid=(b * h, sq // block_q, kv_len // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
         interpret=interpret,
     )(qf, kf, vf, gf, lse, delta)
 
     lse_t = lse.reshape(b * h, 1, sq)
     delta_t = delta.reshape(b * h, 1, sq)
-    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q, q_len=sq)
+    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, scale=scale)
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b * h, kv_len // block_k),
+        grid=(b * h, kv_len // block_k, sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, qq: (i, qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j, qq: (i, qq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, qq: (i, 0, qq), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda i, j, qq: (i, 0, qq), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, kv_len, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, kv_len, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
     )(qf, kf, vf, gf, lse_t, delta_t)

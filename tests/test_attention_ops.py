@@ -32,6 +32,47 @@ def test_flash_matches_xla(rng, sq, skv):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("sq,skv", [(256, 1024), (512, 512)])
+def test_flash_streamed_path_matches_xla(rng, sq, skv, monkeypatch):
+    """Force the >RESIDENT_MAX_SEQ streamed kernels (grid-walked K/V blocks
+    + scratch-carried softmax state — the unbounded-sequence path the 2048²
+    restore needs) at test-size sequences by shrinking the dispatch
+    threshold; must match XLA exactly like the resident path."""
+    from instantir_tpu.ops import attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "RESIDENT_MAX_SEQ", 128)
+    q, k, v = _rand_qkv(rng, sq=sq, skv=skv)
+    ref = attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), block_q=128, block_k=256, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_streamed_backward_matches_xla(rng, monkeypatch):
+    """Streamed dq/dkv kernels (forced via the threshold) vs XLA autodiff."""
+    import jax
+
+    from instantir_tpu.ops import attention as attn_mod
+    from instantir_tpu.ops.attention import _flash_diff
+
+    monkeypatch.setattr(attn_mod, "RESIDENT_MAX_SEQ", 128)
+    # h=5 keeps these shapes distinct from every other test's jit cache
+    # entries, so the patched threshold is read at a FRESH trace
+    q, k, v = _rand_qkv(rng, b=1, sq=512, skv=512, h=5)
+    scale = 64**-0.5
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) ** 2)
+
+    flash = lambda q, k, v: _flash_diff(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, True)
+    xla = lambda q, k, v: attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale)
+    g_f = jax.grad(lambda *a: loss(flash, *a), argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(lambda *a: loss(xla, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+
 def test_flash_bf16(rng):
     q, k, v = _rand_qkv(rng, sq=256, skv=512)
     qb, kb, vb = [jnp.asarray(x, dtype=jnp.bfloat16) for x in (q, k, v)]
