@@ -65,6 +65,57 @@ class ServeConfig:
     deepcache_interval: int = 1  # DeepCache block caching; 1 = exact (docs/perf.md)
     deepcache_depth: int = 1
     seed: int = 42
+    # step-level continuous batching (ContinuousRestoreServer): a resident
+    # slot batch per bucket, per-slot timesteps, mid-flight refill — cuts the
+    # whole-request batcher's head-of-line latency (docs/perf.md round 5)
+    continuous: bool = False
+    tick_steps: int = 5          # denoise steps dispatched between scheduler decisions
+    # refuse configs whose estimated HBM footprint exceeds the chip (clear
+    # startup error instead of a mid-traffic OOM); override to experiment
+    allow_overbudget: bool = False
+
+
+# HBM planning coefficients (16 GB v5e), derived from measured fits in
+# docs/perf.md round 4: exact-bf16 batch 1 at 1024² fits next to the 9.5 GB
+# weight set; W8 (≈6.4 GB weights) batch 2 fits; bf16 batch 2 does NOT.
+# Activation+temp footprint scales with CFG-doubled pixels ⇒ ≈4.4 GB per
+# 1024² image satisfies all three observations with margin. These are
+# planning numbers for fail-fast config validation, not allocator truth.
+_HBM_ACT_GB_PER_MPIX = 4.4
+_HBM_LIMIT_GB = 15.6  # 16 GB minus runtime/allocator reserve
+
+
+def estimate_hbm_budget(pipe, buckets, bucket_batch, allow_overbudget=False):
+    """Estimate per-(bucket, batch) HBM and fail fast when over budget.
+
+    Returns a report dict (printed at warmup). Raises ``ValueError`` with the
+    offending rows when the estimate exceeds the chip and
+    ``allow_overbudget`` is not set (VERDICT r4 #7: serve must refuse with a
+    clear message instead of a mid-traffic OOM).
+    """
+    import jax
+
+    params_gb = sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(pipe.params)
+    ) / 1e9
+    rows, over = [], []
+    for r in buckets:
+        b = bucket_batch[r]
+        act_gb = _HBM_ACT_GB_PER_MPIX * (r * r / 1e6) * b
+        total = params_gb + act_gb
+        rows.append({"bucket": r, "batch": b, "params_gb": round(params_gb, 2),
+                     "act_gb": round(act_gb, 2), "total_gb": round(total, 2),
+                     "limit_gb": _HBM_LIMIT_GB, "fits": total <= _HBM_LIMIT_GB})
+        if total > _HBM_LIMIT_GB:
+            over.append(f"bucket {r}² batch {b}: est {total:.1f} GB > {_HBM_LIMIT_GB} GB "
+                        f"(params {params_gb:.1f} + activations {act_gb:.1f})")
+    if over and not allow_overbudget:
+        raise ValueError(
+            "serve config exceeds the estimated HBM budget:\n  " + "\n  ".join(over)
+            + "\nreduce the per-bucket batch (--batch_sizes), quantize weights "
+            "(--quantized w8), or pass --allow_overbudget to try anyway "
+            "(planning model: docs/perf.md round 4/5)")
+    return {"params_gb": round(params_gb, 2), "rows": rows}
 
 
 @dataclass
@@ -179,7 +230,12 @@ class RestoreServer:
     def warmup(self):
         """Compile every bucket's full-batch restore program (and the
         encoders) before accepting traffic. The persistent compilation cache
-        makes restarts skip the remote compile entirely."""
+        makes restarts skip the remote compile entirely. Prints the HBM
+        budget table first and refuses over-budget configs with a clear
+        error instead of a mid-traffic OOM (``estimate_hbm_budget``)."""
+        budget = estimate_hbm_budget(self.pipe, self.buckets, self._bucket_batch,
+                                     allow_overbudget=self.cfg.allow_overbudget)
+        print(f"[serve] HBM budget: {json.dumps(budget)}", flush=True)
         for r in self.buckets:
             reqs = [
                 _Request(
@@ -364,6 +420,240 @@ class RestoreServer:
         return "\n".join(lines) + "\n"
 
 
+class ContinuousRestoreServer(RestoreServer):
+    """Step-level continuous batching (vLLM-style iteration scheduling for
+    diffusion restoration — VERDICT r4 #1).
+
+    Instead of gathering whole requests into full 30-step restores, each
+    bucket keeps a RESIDENT device batch of ``batch_sizes[bucket]`` slots;
+    every slot carries its own timestep index and RNG stream
+    (``pipeline/slots.py``). The scheduler loop round-robins buckets, each
+    tick dispatching ``tick_steps`` denoise steps for the bucket's active
+    slots; finished slots are decoded (batch-1 program — only finished work
+    pays decode) and refilled from the queue mid-flight. Two latency effects
+    vs the whole-request batcher:
+
+      * no admission wait: a request enters the next tick, not the next
+        whole-batch boundary (at 1024² batch 1 that boundary is a ~9.2 s
+        restore);
+      * bounded head-of-line blocking across buckets: a 512² request behind
+        a 1024² restore waits one tick (~tick_steps × step), not the whole
+        30-step program.
+
+    The slot math is exact — a slot's trajectory is bitwise-identical to a
+    single-request run of the staged sampler (tests/test_slots.py), so this
+    is a scheduling change, not an approximation. Decoded results are handed
+    to a completer thread as device arrays; the scheduler thread never
+    blocks on a device fetch.
+    """
+
+    def __init__(self, pipe, encode_fn: Callable, cfg: ServeConfig = ServeConfig()):
+        super().__init__(pipe, encode_fn, cfg)
+        from instantir_tpu.pipeline.slots import SlotSampler
+
+        self.samplers: Dict[int, SlotSampler] = {
+            r: SlotSampler(pipe, self.restore_cfg, r, self._bucket_batch[r])
+            for r in self.buckets
+        }
+        self._states: Dict[int, object] = {}
+        self._payload_template: Dict[int, object] = {}
+        self._slot_reqs: Dict[int, List[Optional[_Request]]] = {
+            r: [None] * self._bucket_batch[r] for r in self.buckets
+        }
+        self._host_steps: Dict[int, List[int]] = {
+            r: [0] * self._bucket_batch[r] for r in self.buckets
+        }
+        self.ticks_run = 0
+        self._complete_q: "queue.Queue" = queue.Queue()
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           name="restore-completer", daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, warmup: bool = True):
+        if warmup:
+            self.warmup()
+            self.batches_run = 0
+            self.requests_served = 0
+            self._request_latencies.clear()
+            self._batch_seconds.clear()
+        self._completer.start()
+        self._worker.start()
+        return self
+
+    def warmup(self):
+        """Compile every slot program (prelude, step — both traced branches
+        compile at trace time — insert, extract, batch-1 decode) per bucket,
+        then reset to empty states. Budget-gated like the whole-request
+        server."""
+        import jax
+        import jax.numpy as jnp
+
+        budget = estimate_hbm_budget(self.pipe, self.buckets, self._bucket_batch,
+                                     allow_overbudget=self.cfg.allow_overbudget)
+        print(f"[serve] HBM budget: {json.dumps(budget)}", flush=True)
+        pe, pooled = self._embeds([DEFAULT_PROMPT])
+        npe, npooled = self._embeds([DEFAULT_NEG_PROMPT])
+        for r in self.buckets:
+            s = self.samplers[r]
+            payload = s.prelude(
+                jnp.zeros((1, r, r, 3), jnp.float32),
+                jnp.asarray(pe), jnp.asarray(pooled),
+                jnp.asarray(npe), jnp.asarray(npooled),
+                jax.random.PRNGKey(0),
+            )
+            state = s.insert(s.empty_state(payload), payload, 0)
+            state = s.step(state)
+            _ = np.asarray(s.extract_decode(state, 0))  # forced fetch = compiled
+            self._states[r] = s.empty_state(payload)
+            self._payload_template[r] = jax.tree.map(jnp.zeros_like, payload)
+
+    def stop(self):
+        super().stop()
+        self._complete_q.put(None)
+        if self._completer.is_alive():
+            self._completer.join(timeout=60)
+
+    # -- scheduler ---------------------------------------------------------
+
+    def _refill(self, r: int) -> bool:
+        """Admit queued requests into free slots of bucket ``r``."""
+        import jax
+        import jax.numpy as jnp
+
+        import jax
+        import jax.numpy as jnp
+
+        s = self.samplers[r]
+        admitted = False
+        for slot in range(self._bucket_batch[r]):
+            if self._slot_reqs[r][slot] is not None:
+                continue
+            try:
+                req = self._queues[r].get_nowait()
+            except queue.Empty:
+                break
+            try:
+                pe, pooled = self._embeds([req.prompt])
+                npe, npooled = self._embeds([req.neg_prompt])
+                with self._lock:
+                    self._key, sub = jax.random.split(self._key)
+                payload = s.prelude(
+                    jnp.asarray(req.image[None]),
+                    jnp.asarray(pe), jnp.asarray(pooled),
+                    jnp.asarray(npe), jnp.asarray(npooled), sub,
+                )
+                if r not in self._states:  # start(warmup=False) path
+                    self._states[r] = s.empty_state(payload)
+                    self._payload_template[r] = jax.tree.map(jnp.zeros_like, payload)
+                self._states[r] = s.insert(self._states[r], payload, slot)
+            except BaseException as e:  # fail THIS request; the batch survives
+                req.error = e
+                req.done.set()
+                continue
+            self._slot_reqs[r][slot] = req
+            self._host_steps[r][slot] = 0
+            admitted = True
+        return admitted
+
+    def _run(self):
+        import numpy as _np
+
+        while not self._stop.is_set():
+            progressed = False
+            for r in self.buckets:
+                s = self.samplers[r]
+                self._refill(r)
+                active = [i for i, q_ in enumerate(self._slot_reqs[r]) if q_ is not None]
+                if not active:
+                    continue
+                remaining = max(s.n_steps - self._host_steps[r][i] for i in active)
+                k = min(self.cfg.tick_steps, remaining)
+                t0 = time.monotonic()
+                try:
+                    st = self._states[r]
+                    for _ in range(k):
+                        st = s.step(st)
+                    self._states[r] = st
+                    # pacing sync: bounds the host's dispatch lead to one tick
+                    # and checks the device agrees with host-side accounting
+                    idx = _np.asarray(st.step_idx)
+                    self.ticks_run += 1
+                    self._batch_seconds.append(time.monotonic() - t0)
+                    for i in active:
+                        self._host_steps[r][i] = min(self._host_steps[r][i] + k, s.n_steps)
+                        if idx[i] != self._host_steps[r][i]:
+                            raise RuntimeError(
+                                f"device step_idx {idx[i]} != host {self._host_steps[r][i]}")
+                        if self._host_steps[r][i] >= s.n_steps:
+                            req = self._slot_reqs[r][i]
+                            img = s.extract_decode(self._states[r], i)  # async dispatch
+                            self._slot_reqs[r][i] = None
+                            self.requests_served += 1
+                            self._complete_q.put((req, img))
+                except BaseException as e:
+                    for i in active:
+                        req = self._slot_reqs[r][i]
+                        if req is not None:
+                            req.error = e
+                            req.done.set()
+                            self._slot_reqs[r][i] = None
+                    # state buffers were donated mid-step: rebuild from the
+                    # zero payload template (or lazily on the next refill)
+                    if r in self._payload_template:
+                        self._states[r] = s.empty_state(self._payload_template[r])
+                    else:
+                        self._states.pop(r, None)
+                    self._host_steps[r] = [0] * self._bucket_batch[r]
+                    continue
+                progressed = True
+            if not progressed:
+                if self._closing.is_set() and not self._pending():
+                    return
+                try:
+                    self._notify.get(timeout=0.05)
+                except queue.Empty:
+                    pass
+
+    def _pending(self) -> bool:
+        return any(q.qsize() for q in self._queues.values()) or any(
+            req is not None for reqs in self._slot_reqs.values() for req in reqs
+        ) or not self._complete_q.empty()
+
+    def _complete_loop(self):
+        """Fetch decoded device arrays and fulfil requests — off the
+        scheduler thread, so stepping never waits on decode/postprocess."""
+        from PIL import Image
+
+        while True:
+            item = self._complete_q.get()
+            if item is None:
+                return
+            req, arr = item
+            try:
+                out = np.asarray(arr.astype("float32"))[0]
+                img = ((np.clip(out, -1, 1) + 1) * 127.5).astype(np.uint8)
+                if (img.shape[1], img.shape[0]) != req.out_size:
+                    img = np.asarray(Image.fromarray(img).resize(req.out_size, Image.LANCZOS))
+                req.result = img
+            except BaseException as e:
+                req.error = e
+            if req.t_submit:
+                self._request_latencies.append(time.monotonic() - req.t_submit)
+            req.done.set()
+
+    def stats(self) -> Dict:
+        s = super().stats()
+        s["mode"] = "continuous"
+        s["tick_steps"] = self.cfg.tick_steps
+        s["ticks_run"] = self.ticks_run
+        s["slot_occupancy"] = {
+            str(r): sum(1 for q_ in reqs if q_ is not None)
+            for r, reqs in self._slot_reqs.items()
+        }
+        return s
+
+
 # ---------------------------------------------------------------------------
 # HTTP layer (stdlib; POST image bytes → PNG response)
 # ---------------------------------------------------------------------------
@@ -472,6 +762,16 @@ def main(argv: Optional[List[str]] = None):
                    "quant — measured slower end-to-end than exact at 1024², "
                    "recorded negative) or 'w8' (weight-only, half the weight "
                    "HBM → bigger per-bucket batches; docs/perf.md)")
+    p.add_argument("--continuous", action="store_true",
+                   help="step-level continuous batching: resident slot batch per "
+                   "bucket, per-slot timesteps, mid-flight refill — cuts the "
+                   "whole-request batcher's head-of-line latency (docs/perf.md "
+                   "round 5). Exact schedule only (no --deepcache_interval)")
+    p.add_argument("--tick_steps", type=int, default=5,
+                   help="with --continuous: denoise steps dispatched between "
+                   "scheduler decisions (admission/finish cadence)")
+    p.add_argument("--allow_overbudget", action="store_true",
+                   help="skip the fail-fast HBM budget check at warmup")
     p.add_argument("--mesh", action="store_true",
                    help="shard the serve batch over all local devices (batch_size "
                    "must divide by the device count)")
@@ -497,7 +797,22 @@ def main(argv: Optional[List[str]] = None):
     if args.mesh:
         from instantir_tpu.parallel.mesh import make_mesh
 
-        pipe.shard(make_mesh(model_parallel=args.model_parallel))
+        if args.continuous:
+            raise SystemExit("--continuous does not compose with --mesh yet; "
+                             "scale continuous serving with one server process "
+                             "per chip (pipeline/slots.py)")
+        mesh = make_mesh(model_parallel=args.model_parallel)
+        # per-bucket batches must divide the data axis, or warmup dies later
+        # with an opaque sharding error (ADVICE r4): validate up front
+        data_size = dict(mesh.shape).get("data", 1)
+        buckets = tuple(sorted(int(r) for r in args.resolutions.split(","))) if args.resolutions else (args.resolution,)
+        batches = tuple(int(b) for b in args.batch_sizes.split(",")) if args.batch_sizes else (args.batch_size,) * len(buckets)
+        for r, b in zip(buckets, batches):
+            if b % data_size:
+                raise SystemExit(
+                    f"--mesh: bucket {r}² batch {b} does not divide the mesh data "
+                    f"axis ({data_size} devices); adjust --batch_sizes/--batch_size")
+        pipe.shard(mesh)
     (enc1, p1, tok1), (enc2, p2, tok2) = load_text_encoders(args.sdxl_path)
 
     def encode(prompts: List[str]):
@@ -514,8 +829,11 @@ def main(argv: Optional[List[str]] = None):
         guidance_scale=args.cfg, preview_start=args.preview_start,
         creative_start=args.creative_start, shared_cfg=args.shared_cfg,
         deepcache_interval=args.deepcache_interval, deepcache_depth=args.deepcache_depth,
+        continuous=args.continuous, tick_steps=args.tick_steps,
+        allow_overbudget=args.allow_overbudget,
     )
-    server = RestoreServer(pipe, encode, cfg).start(warmup=True)
+    server_cls = ContinuousRestoreServer if args.continuous else RestoreServer
+    server = server_cls(pipe, encode, cfg).start(warmup=True)
     httpd = make_http_server(server, args.host, args.port)
 
     # SIGTERM (TPU preemption / redeploy) and SIGINT drain gracefully: stop

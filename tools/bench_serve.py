@@ -14,6 +14,15 @@ sorted buckets; at 1024² one 16 GB v5e fits batch 1 next to the 9.5 GB
 weight set, the 512² bucket runs batch 4), BENCH_SERVE_STEPS (30),
 BENCH_SERVE_REQS (16), BENCH_SERVE_CLIENTS (8),
 BENCH_SERVE_BUCKETS ("512,1024").
+
+Round-5 knobs (VERDICT r4 #1/#5):
+  BENCH_SERVE_MODE=continuous  → step-level continuous batching
+      (ContinuousRestoreServer; per-slot timesteps, mid-flight refill);
+      BENCH_SERVE_TICK (5) sets the scheduler tick quantum.
+  BENCH_SERVE_SHARED=1         → shared-CFG fast tier *as served*
+  BENCH_SERVE_DEEPCACHE=N      → DeepCache interval N (whole-request only)
+  BENCH_SERVE_QUANT=w8         → weight-only int8 pipeline (batch-2 enabler)
+  BENCH_SERVE_ROUTING=0        → skip the bucket-routing comparison section
 Usage:  python tools/bench_serve.py       (ambient TPU env; 2 bucket compiles)
 """
 
@@ -38,12 +47,18 @@ from bench import build_models, synth_params
 
 
 def main():
-    from instantir_tpu.cli.serve import RestoreServer, ServeConfig
+    from instantir_tpu.cli.serve import ContinuousRestoreServer, RestoreServer, ServeConfig
     from instantir_tpu.pipeline.instantir import InstantIRPipeline
 
     steps = int(os.environ.get("BENCH_SERVE_STEPS", "30"))
     n_reqs = int(os.environ.get("BENCH_SERVE_REQS", "16"))
     n_clients = int(os.environ.get("BENCH_SERVE_CLIENTS", "8"))
+    mode = os.environ.get("BENCH_SERVE_MODE", "whole")
+    tick = int(os.environ.get("BENCH_SERVE_TICK", "5"))
+    shared = os.environ.get("BENCH_SERVE_SHARED") == "1"
+    deepcache = int(os.environ.get("BENCH_SERVE_DEEPCACHE", "1"))
+    quant = os.environ.get("BENCH_SERVE_QUANT", "")
+    routing = os.environ.get("BENCH_SERVE_ROUTING", "1") == "1"
     buckets = tuple(sorted(int(r) for r in os.environ.get("BENCH_SERVE_BUCKETS", "512,1024").split(",")))
     batch_sizes = tuple(int(b) for b in os.environ.get("BENCH_SERVE_BATCHES", "4,1").split(","))
     assert len(batch_sizes) == len(buckets), "BENCH_SERVE_BATCHES must match BENCH_SERVE_BUCKETS"
@@ -67,6 +82,9 @@ def main():
     }
     jax.block_until_ready(params)
     pipe = InstantIRPipeline(unet, aggregator, vae, resampler, dino, schedule, params)
+    del params  # caller-held-duplicate rule (docs/perf.md round 4)
+    if quant:
+        pipe.quantize(weight_only=quant == "w8")
 
     rng = np.random.default_rng(0)
     embed_const = (jnp.asarray(rng.normal(size=(1, 77, 2048)) * 0.1, jnp.bfloat16),
@@ -77,8 +95,11 @@ def main():
         return (jnp.tile(embed_const[0], (b, 1, 1)), jnp.tile(embed_const[1], (b, 1)))
 
     cfg = ServeConfig(resolutions=buckets, batch_sizes=batch_sizes,
-                      num_inference_steps=steps, batch_wait_ms=50.0)
-    server = RestoreServer(pipe, encode_fn, cfg)
+                      num_inference_steps=steps, batch_wait_ms=50.0,
+                      shared_cfg=shared, deepcache_interval=deepcache,
+                      continuous=mode == "continuous", tick_steps=tick)
+    server_cls = ContinuousRestoreServer if mode == "continuous" else RestoreServer
+    server = server_cls(pipe, encode_fn, cfg)
     t0 = time.time()
     server.start(warmup=True)
     warmup_s = time.time() - t0
@@ -114,32 +135,37 @@ def main():
     wall = time.time() - t0
     stats = server.stats()
 
-    # bucket-routing win: one 512² request through each bucket, back-to-back
-    small = (rng.uniform(size=(512, 512, 3)) * 2 - 1).astype(np.float32)
-    t0 = time.time()
-    server.submit(small, timeout=1200)
-    small_via_512 = time.time() - t0
-    big_cfg = ServeConfig(batch_size=batch_sizes[-1], resolution=max(buckets),
-                          num_inference_steps=steps)
-    server2 = RestoreServer(pipe, encode_fn, big_cfg)
-    server2.start(warmup=True)  # programs already in the persistent cache
-    t0 = time.time()
-    server2.submit(small, timeout=1200)
-    small_via_1024 = time.time() - t0
-    server2.stop()
-    server.drain()
-
-    print(json.dumps({
-        "batch_sizes": list(batch_sizes), "steps": steps, "buckets": list(buckets),
+    out = {
+        "mode": mode, "batch_sizes": list(batch_sizes), "steps": steps,
+        "buckets": list(buckets),
         "requests": n_reqs, "clients": n_clients, "errors": errors,
+        "shared_cfg": shared, "deepcache": deepcache, "quant": quant or None,
         "warmup_s": round(warmup_s, 1),
         "throughput_img_per_s": round(stats["requests_served"] / wall, 4),
         "request_latency_s": stats["request_latency_seconds"],
         "batch_seconds": stats["batch_seconds"],
         "batches_run": stats["batches_run"],
-        "small_req_via_512_bucket_s": round(small_via_512, 2),
-        "small_req_via_1024_bucket_s": round(small_via_1024, 2),
-    }))
+    }
+    if mode == "continuous":
+        out["tick_steps"] = tick
+        out["ticks_run"] = stats["ticks_run"]
+
+    if routing:
+        # bucket-routing win: one 512² request through each bucket, back-to-back
+        small = (rng.uniform(size=(512, 512, 3)) * 2 - 1).astype(np.float32)
+        t0 = time.time()
+        server.submit(small, timeout=1200)
+        out["small_req_via_512_bucket_s"] = round(time.time() - t0, 2)
+        big_cfg = ServeConfig(batch_size=batch_sizes[-1], resolution=max(buckets),
+                              num_inference_steps=steps)
+        server2 = RestoreServer(pipe, encode_fn, big_cfg)
+        server2.start(warmup=True)  # programs already in the persistent cache
+        t0 = time.time()
+        server2.submit(small, timeout=1200)
+        out["small_req_via_1024_bucket_s"] = round(time.time() - t0, 2)
+        server2.stop()
+    server.drain()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
