@@ -80,10 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
         "HBM back — with --use_8bit_adam, fits SDXL stage-2 on ONE 16 GB v5e",
     )
     p.add_argument(
-        "--prefetch_batches", type=int, default=0,
+        "--prefetch_batches", type=int, default=2,
         help="host-pipelined batch preparation depth: a worker thread runs "
         "next(data)+prepare_batch N steps ahead, hiding loader + host->device "
-        "upload behind device compute (0 = sequential; sequences identical)",
+        "upload behind device compute (default 2; 0 = sequential; the "
+        "produced sequences are bitwise-identical either way)",
     )
     p.add_argument(
         "--scale_lr", action="store_true",

@@ -21,6 +21,17 @@ keeps the kernel a pure reshape+reduce, which XLA fuses well on TPU.
 Complements ZeRO-1 (``parallel/mesh.py::zero1_shard``): ZeRO divides moment
 memory across chips, this shrinks it ~4× more; both together put the stage-2
 aggregator's moments at ~250 MB/chip on a v5e-8.
+
+CHECKPOINT COMPATIBILITY: ``BLOCK`` is part of the optimizer-state layout
+(int8 moments are stored ``[nblocks, BLOCK]``), so checkpoints written at a
+different block size cannot be restored against a fresh template — round 4
+changed 256 → 2048 (bnb parity + the 25 MB HBM margin above), breaking any
+pre-round-4 ``--use_8bit_adam`` checkpoints. ``restore_guard`` turns the
+otherwise-opaque orbax shape mismatch into an actionable error; migration =
+resume from the model weights and reinitialize the optimizer (moments are
+statistics, warmup re-accumulates them in ~β₂ horizon steps), or requantize
+old block-256 state offline (dequantize per ``_dequantize``, requantize per
+``_quantize``).
 """
 
 from __future__ import annotations

@@ -194,6 +194,18 @@ def pipelined_batches(trainer, data_iter, cond, key, max_steps: int, depth: int)
     stop = threading.Event()
     start_step = trainer.global_step
 
+    def put_checked(item):
+        """Bounded-queue put that gives up when the consumer is gone —
+        a plain blocking put here would leave the daemon worker stuck
+        forever holding up to ``depth`` prepared device batches in HBM
+        if the consumer exits early (preemption, validation break)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return
+            except _queue.Full:
+                continue
+
     def work():
         k = key
         step = start_step
@@ -202,19 +214,13 @@ def pipelined_batches(trainer, data_iter, cond, key, max_steps: int, depth: int)
                 k, k_deg, k_step = jax.random.split(k, 3)
                 host_batch = next(data_iter)
                 batch_cond = cond(host_batch) if callable(cond) else cond
-                item = (trainer.prepare_batch(host_batch, batch_cond, k_deg, step=step), k_step)
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except _queue.Full:
-                        continue
+                put_checked((trainer.prepare_batch(host_batch, batch_cond, k_deg, step=step), k_step))
                 step += 1
-            q.put(None)
+            put_checked(None)
         except StopIteration:
-            q.put(None)  # data exhausted: end the loop, don't crash it
+            put_checked(None)  # data exhausted: end the loop, don't crash it
         except BaseException as e:  # surface worker failures in the consumer
-            q.put(e)
+            put_checked(e)
 
     worker = threading.Thread(target=work, daemon=True, name="batch-prefetch")
     worker.start()
@@ -473,7 +479,23 @@ class CheckpointManager:
         ckptr = self._checkpointer()
         ckptr.wait_until_finished()
         path = os.path.abspath(os.path.join(self.output_dir, f"checkpoint-{step}", "state"))
-        return ckptr.restore(path, template)
+        try:
+            return ckptr.restore(path, template)
+        except BaseException as e:
+            # the common layout break is the 8-bit Adam block size (round 4
+            # changed 256 → 2048): turn orbax's opaque shape mismatch into
+            # an actionable message (see train/adam8bit.py module docstring)
+            msg = str(e)
+            if "int8" in msg or "2048" in msg or "256" in msg:
+                raise RuntimeError(
+                    f"checkpoint-{step} failed to restore against the current "
+                    f"state template ({type(e).__name__}). If it was written with "
+                    "--use_8bit_adam before the block-size change (256 → 2048, "
+                    "round 4), the int8 moment layout differs: resume from the "
+                    "exported model weights with a fresh optimizer, or requantize "
+                    "the old state (train/adam8bit.py docstring)."
+                ) from e
+            raise
 
     def resume_latest(self, template: Dict[str, Any]) -> Tuple[Optional[int], Optional[Dict[str, Any]]]:
         step = self.latest_step()

@@ -55,8 +55,11 @@ class Stage1Config:
     # host-pipelined batch preparation: a worker thread runs next(data)+
     # prepare_batch N steps ahead of the train loop, hiding the host-side
     # batch cost (loader + host->device upload) behind device compute.
-    # 0 = sequential (default; exact-equal sequences either way, tested).
-    prefetch_batches: int = 0
+    # Default 2 (round 5): measured 1.65x run-loop speedup on stage-2 with
+    # prepare fully hidden (docs/perf.md round 4), and the produced
+    # (recipe, key) sequence is bitwise-identical to the sequential loop
+    # (tests/test_prefetch.py). 0 = sequential.
+    prefetch_batches: int = 2
     gradient_accumulation_steps: int = 1
     resolution: int = 512
     jit_degradation: bool = True  # single-program traced degradation (common.run_degradation)
