@@ -250,6 +250,31 @@ def main():
             "prefetch_depth": 2,
         }
 
+    # analytic matmul/conv FLOPs of one train step (jaxpr walk over the
+    # REAL jitted step — fwd, bwd, remat recomputation, optimizer included)
+    # → per-stage MFU vs the 197 TF/s v5e bf16 peak (VERDICT r4 #3/#4)
+    if os.environ.get("BENCH_TRAIN_MFU", "1") == "1":
+        try:
+            from instantir_tpu.utils.flops import jaxpr_flops
+
+            b0 = trainer.prepare_batch(next(data), cond, jax.random.PRNGKey(999))
+            if STAGE == "stage2":  # _step also takes the EMA tree
+                step_args = (trainer.trainable, trainer.frozen, trainer.ema_adapter,
+                             trainer.opt_state, b0, jax.random.PRNGKey(1000))
+            else:
+                step_args = (trainer.trainable, trainer.frozen,
+                             trainer.opt_state, b0, jax.random.PRNGKey(1000))
+            flops = jaxpr_flops(trainer._step, *step_args)
+            tflop = flops / 1e12
+            dev_step = min(step_times)
+            loop_fields["analytic_tflop_per_step"] = round(tflop, 1)
+            loop_fields["mfu_device_step"] = round(tflop / dev_step / 197.0, 3)
+            if "loop_pipelined_s_per_step" in loop_fields:
+                loop_fields["mfu_run_loop"] = round(
+                    tflop / loop_fields["loop_pipelined_s_per_step"] / 197.0, 3)
+        except Exception as e:
+            loop_fields["mfu_error"] = str(e)[:200]
+
     print(json.dumps({
         "metric": f"{STAGE} train step, {RES}², batch {BATCH} (SDXL scale, grad-ckpt, 1 chip"
                   + (", int8-frozen-unet" if QUANT_FROZEN and STAGE == "stage2" else "") + ")",
