@@ -75,6 +75,9 @@ def main():
     if STAGE == "stage2":
         args = (trainer.trainable, trainer.frozen, trainer.ema_adapter,
                 trainer.opt_state, b0, jax.random.PRNGKey(1))
+    elif STAGE == "previewer":  # _step also takes the DINO center
+        args = (trainer.trainable, trainer.frozen, trainer.opt_state, b0,
+                jax.random.PRNGKey(1), trainer.dino_center)
     else:
         args = (trainer.trainable, trainer.frozen, trainer.opt_state, b0, jax.random.PRNGKey(1))
     flops = jaxpr_flops(trainer._step, *args)
